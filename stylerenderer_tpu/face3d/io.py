@@ -180,8 +180,16 @@ def synthetic_face(
     rng = np.random.RandomState(seed)
     n = pts.shape[0]
     d = shape_dim + expression_dim
-    # smooth low-frequency basis: random direction fields scaled small
-    basis = (rng.randn(d, n, 3) * 0.02).astype(np.float32).reshape(d, -1)
+    # smooth low-frequency basis: sinusoidal fields of the surface position
+    # (random direction, frequency <= 3 cycles across the face) so sampled
+    # shapes deform like faces, not white noise
+    freqs = rng.uniform(0.5, 3.0, (d, 3)).astype(np.float32)
+    phases = rng.uniform(0, 2 * np.pi, (d, 1)).astype(np.float32)
+    dirs = rng.randn(d, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    field = np.sin(pts @ (freqs.T * np.pi) + phases.T)  # [n, d]
+    basis = (field.T[:, :, None] * dirs[:, None, :] * 0.05).astype(np.float32)
+    basis = basis.reshape(d, -1)
     model = make_linear_morphable_model(
         n, shape_dim, expression_dim, pts, basis[:shape_dim], basis[shape_dim:]
     )

@@ -342,7 +342,7 @@ class GeneratorWithMap(nn.Module):
         z = jax.random.normal(rng, (n_latent, self.style_dim))
         return jnp.mean(self.style(z), axis=0, keepdims=True)
 
-    def _normal_pyramid(self, mesh):
+    def normal_pyramid(self, mesh):
         """Rasterized normal maps at 4, 8, ..., size (NHWC, 3 channels)."""
         vert, norm, tri = mesh
         sizes = [4] + [2**i for i in range(3, self.log_size + 1)]
@@ -364,29 +364,15 @@ class GeneratorWithMap(nn.Module):
             for s in sizes
         ]
 
-    def __call__(
-        self,
-        styles,
-        mesh,
-        return_normals: bool = False,
-        return_latents: bool = False,
-        inject_index=None,
-        truncation: float | None = None,
-        truncation_latent=None,
-        input_is_latent: bool = False,
-        noise=None,
-    ):
-        if not isinstance(styles, (list, tuple)):
-            styles = [styles]
-        if not input_is_latent:
-            styles = [self.style(s) for s in styles]
+    def synthesize(self, latent, norm_maps, noise=None):
+        """Conditioned synthesis from per-layer latents ``[B, n_latent, D]``
+        and an explicit normal-map pyramid (a list, smallest first).
+
+        Exposed separately so path-length regularization can differentiate
+        with respect to both the latents and the pyramid (train.py:340-345
+        semantics, functional form)."""
         if noise is None:
             noise = [None] * self.num_layers
-        latent = _mix_styles(
-            styles, self.n_latent, inject_index, truncation, truncation_latent
-        )
-
-        norm_maps = self._normal_pyramid(mesh)
         norm_maps = [m.astype(self.dtype) for m in norm_maps]
 
         out = self.input(latent.shape[0]).astype(self.dtype)
@@ -411,8 +397,29 @@ class GeneratorWithMap(nn.Module):
             )
             skip = self.to_rgbs[level](out, latent[:, i + 2], skip)
             i += 2
+        return skip
 
-        image = skip
+    def __call__(
+        self,
+        styles,
+        mesh,
+        return_normals: bool = False,
+        return_latents: bool = False,
+        inject_index=None,
+        truncation: float | None = None,
+        truncation_latent=None,
+        input_is_latent: bool = False,
+        noise=None,
+    ):
+        if not isinstance(styles, (list, tuple)):
+            styles = [styles]
+        if not input_is_latent:
+            styles = [self.style(s) for s in styles]
+        latent = _mix_styles(
+            styles, self.n_latent, inject_index, truncation, truncation_latent
+        )
+        norm_maps = self.normal_pyramid(mesh)
+        image = self.synthesize(latent, norm_maps, noise)
         return (
             image,
             (latent if return_latents else None),

@@ -1,0 +1,153 @@
+"""Train-step tests: losses vs closed forms, a few full steps (single device
+and SPMD over the 8-device CPU mesh), regularizer scheduling, EMA, and
+cross-device consistency of the SPMD result vs single-device execution."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
+from stylerenderer_tpu.parallel import make_mesh, shard_batch, replicate
+from stylerenderer_tpu.train import (
+    d_logistic_loss,
+    g_nonsaturating_loss,
+    init_train_state,
+    make_models,
+    make_train_step,
+    path_regularize,
+    r1_penalty,
+)
+from stylerenderer_tpu.utils.config import TrainConfig
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        size=8, latent=16, n_mlp=1, channel_multiplier=1, batch=8,
+        d_reg_every=2, g_reg_every=2, path_batch_shrink=2, mixing=0.9,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def build(cfg, augment_fn=None):
+    face, tri = synthetic_face(6, 12, shape_dim=4, expression_dim=2)
+    gen, disc = make_models(cfg)
+    x = face.random_input(jax.random.PRNGKey(0), 2)
+    v = face(x)
+    n = mesh_point_normal(v, tri)
+    state = init_train_state(cfg, jax.random.PRNGKey(1), (v, n, tri))
+    step_fn = jax.jit(make_train_step(cfg, gen, disc, face, tri, augment_fn))
+    return face, tri, state, step_fn
+
+
+@pytest.fixture(scope="module")
+def stepper():
+    cfg = tiny_cfg()
+    face, tri, state, step_fn = build(cfg)
+    return cfg, state, step_fn
+
+
+def test_losses_closed_form():
+    rp = jnp.asarray([1.0, -2.0])
+    fp = jnp.asarray([0.5, -1.0])
+    got = float(d_logistic_loss(rp, fp))
+    sp = lambda x: np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0)
+    want = (sp(-1.0) + sp(2.0)) / 2 + (sp(0.5) + sp(-1.0)) / 2
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(g_nonsaturating_loss(fp)), (sp(-0.5) + sp(1.0)) / 2, rtol=1e-5
+    )
+
+    pl = jnp.asarray([2.0, 4.0])
+    pen, mean = path_regularize(pl, jnp.asarray(1.0), decay=0.5)
+    # mean' = 1 + .5*(3-1) = 2 ; penalty = mean((pl-2)^2) = (0+4)/2
+    np.testing.assert_allclose(float(mean), 2.0, rtol=1e-6)
+    np.testing.assert_allclose(float(pen), 2.0, rtol=1e-6)
+
+
+def test_r1_penalty_quadratic_disc():
+    """For D(x) = a·sum(x²), grad = 2a·x, penalty = 4a² E[||x||²]."""
+    a = 1.5
+
+    def disc_apply(params, img):
+        return params * jnp.sum(img.reshape(img.shape[0], -1) ** 2, -1)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 3, 1))
+    got = float(r1_penalty(disc_apply, a, x))
+    want = 4 * a * a * float(jnp.mean(jnp.sum(x.reshape(4, -1) ** 2, -1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_train_step_runs_schedules_and_ema(stepper):
+    cfg, state, step_fn = stepper
+    real = jax.random.normal(
+        jax.random.PRNGKey(42), (cfg.batch, cfg.size, cfg.size, 3)
+    )
+    s = state
+    all_metrics = []
+    for _ in range(3):
+        s, m = step_fn(s, real)
+        all_metrics.append(jax.tree_util.tree_map(float, m))
+    assert int(s.step) == 3
+    for m in all_metrics:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+    # regs fire on steps 0 and 2 (every 2), not 1
+    assert all_metrics[0]["r1"] != 0.0
+    assert all_metrics[1]["r1"] == 0.0
+    assert all_metrics[2]["r1"] != 0.0
+    assert all_metrics[0]["path_length"] != 0.0
+    assert all_metrics[1]["path_length"] == 0.0
+    # params actually moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.g_params, s.g_params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    # EMA after one step from the initial state: ema = d*old + (1-d)*new
+    s1, _ = step_fn(state, real)
+    d = cfg.ema_decay
+    leaf_old = jax.tree_util.tree_leaves(state.g_ema)[0]
+    leaf_new = jax.tree_util.tree_leaves(s1.g_params)[0]
+    leaf_ema = jax.tree_util.tree_leaves(s1.g_ema)[0]
+    np.testing.assert_allclose(
+        np.asarray(leaf_ema), np.asarray(leaf_old * d + leaf_new * (1 - d)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_train_step_spmd_8dev(stepper):
+    """The same step jitted over an 8-device mesh: batch sharded, params
+    replicated; result consistent with single-device execution (same rngs,
+    up to cross-device reduction reordering)."""
+    cfg, state, step_fn = stepper
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(jax.devices()[:8])
+    real = jax.random.normal(jax.random.PRNGKey(3), (cfg.batch, cfg.size, cfg.size, 3))
+
+    s_single, m_single = step_fn(state, real)
+
+    state_sharded = replicate(mesh, state)
+    real_sharded = shard_batch(mesh, real)
+    with mesh:
+        s_multi, m_multi = step_fn(state_sharded, real_sharded)
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_multi[k]), rtol=1e-2, atol=1e-3,
+            err_msg=k,
+        )
+    # adam amplifies reduction-order noise where grads ~ 0; compare loosely
+    leaf_s = np.asarray(jax.tree_util.tree_leaves(s_single.g_params)[0])
+    leaf_m = np.asarray(jax.tree_util.tree_leaves(s_multi.g_params)[0])
+    np.testing.assert_allclose(leaf_s, leaf_m, rtol=1e-2, atol=2e-3)
+
+
+def test_ada_controller():
+    cfg = tiny_cfg(augment=True, ada_every=8)
+    face, tri, state, step_fn = build(cfg, augment_fn=lambda r, i, p: i)
+    real = jax.random.normal(jax.random.PRNGKey(2), (cfg.batch, cfg.size, cfg.size, 3))
+    s, m = step_fn(state, real)
+    # batch 8 >= ada_every 8 -> controller fired and reset
+    assert float(s.ada_count) == 0.0
+    assert 0.0 <= float(s.ada_p) <= 1.0
