@@ -314,17 +314,34 @@ def rasterize_index_coeff(v, tri, h: int = 256, w: int = 0,
     return vidx, coeff
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def _dispatch_winners(v, tri, h, w, perspective, eps, method):
     if method == "auto":
         nf = tri.shape[0]
-        # dense work is O(nf*h*w); switch to the binned path for big problems
-        method = "dense" if nf * h * w <= (1 << 26) else "binned"
+        if nf * h * w <= (1 << 24) or h % 8 or w % 8:
+            # dense work is O(nf*h*w): fine for small problems, and the only
+            # option for sub-tile images (the 4x4 pyramid base)
+            method = "dense"
+        elif _on_tpu():
+            method = "pallas"
+        else:
+            method = "binned"
     if method == "dense":
         return rasterize_winners(v, tri, h, w, perspective, eps)
-    elif method == "binned":
+    if method == "binned":
         from stylerenderer_tpu.ops.rasterize_binned import rasterize_winners_binned
 
         return rasterize_winners_binned(v, tri, h, w, perspective, eps)
+    if method == "pallas":
+        from stylerenderer_tpu.ops.rasterize_pallas import rasterize_winners_pallas
+
+        return rasterize_winners_pallas(v, tri, h, w, perspective, eps)
     raise ValueError(f"unknown rasterize method {method!r}")
 
 
