@@ -1,0 +1,105 @@
+"""Spectral normalization + dominant-singular-pair utilities.
+
+Reference ``layers.py:54-169``: SpectralNorm divides a weight by its top
+singular value, estimated either by power iteration (stateful u/v vectors)
+or exactly via the dominant singular pair (``BatchEigenMax``). The reference
+hand-writes implicit-function VJPs for both; in JAX the closed forms are
+natively differentiable, so no custom gradients are needed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_vec(v, axis=-1, kind: str = "L2", eps: float = 1e-8):
+    """L2 / L1 / Linf normalization with clamped norms (layers.py:13-34)."""
+    kind = kind.upper()
+    if "L2" in kind:
+        n = jnp.sqrt(jnp.sum(v * v, axis, keepdims=True))
+    elif "L1" in kind:
+        n = jnp.sum(v, axis, keepdims=True)
+    elif "LINF" in kind:
+        n = jnp.max(jnp.abs(v), axis, keepdims=True)
+    else:
+        raise ValueError(f"unknown norm {kind!r}")
+    return v / jnp.maximum(n, eps)
+
+
+def batch_eigen_max(A):
+    """Dominant singular pair of a batch of matrices (layers.py:54-99).
+
+    A: [B, n, m] -> (u [B, n] with sign fixed so u[-1] >= 0, sigma [B]).
+    jnp.linalg.svd is differentiable, replacing the reference's hand-written
+    implicit-function backward.
+    """
+    u, s, _ = jnp.linalg.svd(A, full_matrices=False)
+    u0 = u[..., :, 0]
+    s0 = s[..., 0]
+    flip = u0[..., -1:] < 0
+    u0 = jnp.where(flip, -u0, u0)
+    return u0, s0
+
+
+def spectral_sigma_exact(w: jnp.ndarray) -> jnp.ndarray:
+    """Exact top singular value of a (reshaped-2D) weight."""
+    m = w.reshape(w.shape[0], -1)
+    if m.shape[0] > m.shape[1]:
+        m = m.T
+    _, s = batch_eigen_max(m[None])
+    return s[0]
+
+
+class SpectralNorm(nn.Module):
+    """Wrap a weight-producing module with spectral normalization.
+
+    Power-iteration state (u, v) lives in the ``spectral`` variable
+    collection (mutable during training, like torch's buffers);
+    ``power_iterations=0`` uses the exact singular value instead.
+    """
+
+    features: int
+    weight_shape: tuple
+    power_iterations: int = 1
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, apply_fn: Callable, *args):
+        """apply_fn(normalized_weight, *args) with the managed weight."""
+        w = self.param(
+            "weight_bar", nn.initializers.normal(stddev=1.0), self.weight_shape
+        )
+        height = self.weight_shape[0]
+        width = int(np.prod(self.weight_shape[1:]))
+        w2d = w.reshape(height, width)
+        if self.power_iterations > 0:
+            u = self.variable(
+                "spectral", "u",
+                lambda: normalize_vec(
+                    jax.random.normal(self.make_rng("params"), (height,))
+                ),
+            )
+            v = self.variable(
+                "spectral", "v",
+                lambda: normalize_vec(
+                    jax.random.normal(self.make_rng("params"), (width,))
+                ),
+            )
+            uv, vv = u.value, v.value
+            for _ in range(self.power_iterations):
+                vv = normalize_vec(w2d.T @ uv, eps=self.eps)
+                uv = normalize_vec(w2d @ vv, eps=self.eps)
+            uv = jax.lax.stop_gradient(uv)
+            vv = jax.lax.stop_gradient(vv)
+            if not self.is_initializing():
+                u.value = uv
+                v.value = vv
+            sigma = uv @ (w2d @ vv)
+        else:
+            sigma = spectral_sigma_exact(w)
+        return apply_fn(w / sigma, *args)

@@ -1,30 +1,35 @@
-"""Pallas TPU rasterizer: per-tile VMEM z-buffer over sort-binned triangles.
+"""Pallas TPU rasterizer: per-tile VMEM z-buffer over home-tile-sorted
+triangles.
 
-The production winner search. Design (see also rasterize.py docstring):
+The production winner search. Design:
 
-JAX-side binning (vectorized, ~2ms/img at BFM scale):
-  1. per-triangle setup: projected verts, validity, clamped integer bbox;
-  2. tier expansion — every triangle emits (tile, tri) entries for the 8x8
-     image tiles its bbox overlaps, through static-capacity tiers:
-     A: <=2x2 tiles (4 slots, all triangles),
-     M: <=4x4 tiles (16 slots, top ``med_cap`` by span),
-     L: <=16x16 tiles (256 slots, top ``lg_cap``),
-     XL: all tiles (``xl_cap``); dense face meshes are ~100% tier A;
-  3. one ``lax.sort`` by tile id + ``searchsorted`` segment starts;
-  4. pre-gather per-entry data as ``[16, E]`` f32 (entries on lanes):
-     rows 0-2 px, 3-5 py, 6-8 z(ndc), 9 triangle id.
+JAX-side binning (one nf-length sort, no per-entry expansion):
+  1. per-triangle setup: projected verts, validity, integer bbox in 8x8
+     tile coordinates;
+  2. every triangle gets ONE key: ``tier * ntiles + home`` where home is its
+     bbox' top-left tile and the tier encodes its tile span —
+     A: <= 2x2 tiles, M: <= 4x4, L: <= 16x16, XL: anything bigger;
+  3. one ``lax.sort`` of (key, tri_id) + ``searchsorted`` segment starts;
+  4. per-triangle data gathered once in sorted order as ``[16, nf]`` f32
+     (triangles on lanes): rows 0-2 px, 3-5 py, 6-8 z, 9 id.
 
-Pallas kernel (grid = (B, n_tiles)):
-  - scalar-prefetched segment starts;
-  - streams each tile's entry chunks HBM->VMEM (async copy, 128 entries);
-  - evaluates the same candidate math as the dense path on [64 px, 128
-    entry] vector blocks (VPU-native layout);
-  - keeps an in-register z-buffer + winner id with deterministic
-    min-id-at-max-z ties — no scatter, no atomics, no race (the reference's
-    CUDA z-buffer race class, rasterize.h:143-154, is eliminated).
+Pallas kernel (grid = (B, n_tiles)): a tile is touched only by triangles
+whose home lies in a tier-sized neighborhood up/left of it, and homes along
+one tile row are CONTIGUOUS in sort order — so each tile's worklist is a
+handful of contiguous segments of the sorted array:
+  A: 2 ranges (rows ty-1..ty, cols tx-1..tx),
+  M: 4 ranges (rows ty-3..ty, cols tx-3..tx),
+  L: 16 ranges, XL: 1 global range.
+Each range is streamed HBM->VMEM in 128-triangle chunks (DMA offsets forced
+128-aligned, tails masked) and evaluated with dense-path-identical candidate
+math on [64 px, 128 tri] VPU blocks into an in-register z-buffer with
+deterministic min-id-at-max-z ties. No scatter, no atomics, no race (the
+reference CUDA z-buffer race class, rasterize.h:143-154, is eliminated), and
+no custom VJP — gradients flow through the JAX coefficient recompute
+(rasterize.py).
 
-No custom VJP needed: the winner search is non-differentiable by design;
-gradients flow through the JAX-side coefficient recompute (rasterize.py).
+Mosaic workarounds (this backend): no select on i1 vectors (boolean algebra
+instead), dynamic DMA offsets must be provably 128-aligned.
 """
 
 from __future__ import annotations
@@ -45,43 +50,21 @@ CHUNK = 128
 _BIG_ID = np.float32(2**24)  # ids stored in f32; nf must stay below this
 _NEG_INF = np.float32(-3.0e38)
 
-
-# --------------------------------------------------------------------------
-# binning (JAX)
-# --------------------------------------------------------------------------
+# tier tile-span limits; a tile scans homes in a (span x span) neighborhood
+TIER_SPANS = (2, 4, 16)  # A, M, L; XL = everything bigger, scanned globally
 
 
-def _tier_slots(tx0, ty0, tx1, ty1, active, ntx, nty, side):
-    """Entries for one tier: each active triangle emits side*side tile slots
-    covering its bbox-tile range. Returns (tile_ids [n, side*side])."""
-    ntiles = ntx * nty
-    d = jnp.arange(side, dtype=jnp.int32)
-    gx = tx0[:, None] + d[None, :]  # [n, side]
-    gy = ty0[:, None] + d[None, :]
-    okx = (gx <= tx1[:, None]) & (gx < ntx)
-    oky = (gy <= ty1[:, None]) & (gy < nty)
-    tile = gy[:, :, None] * ntx + gx[:, None, :]  # [n, side(y), side(x)]
-    ok = oky[:, :, None] & okx[:, None, :] & active[:, None, None]
-    tile = jnp.where(ok, tile, ntiles)
-    return tile.reshape(tile.shape[0], side * side)
-
-
-def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
-               med_cap: int = 4096, lg_cap: int = 256, xl_cap: int = 16):
-    """-> (dat [B, 16, E] f32, starts [B, ntiles+1] i32, overflow [B, 3])."""
-    B = v.shape[0]
+def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float):
+    """-> (dat [B, 16, nf_pad] f32, starts [B, 4*ntiles+1] i32)."""
     nf = tri.shape[0]
+    assert nf < _BIG_ID, "triangle ids are carried in f32"
     ntx, nty = w // TILE, h // TILE
     ntiles = ntx * nty
-    med_cap = min(med_cap, nf)
-    lg_cap = min(lg_cap, nf)
-    xl_cap = min(xl_cap, nf)
 
     def per_batch(vb):
         px, py, z, persp_ok, _x0, _y0, valid, span = _setup(
             vb, tri, h, w, perspective, eps
         )
-        # _setup returns only the max-span; recompute both bbox ends here
         umin = jnp.min(px, -1)
         umax = jnp.max(px, -1)
         vmin = jnp.min(py, -1)
@@ -90,87 +73,42 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
         x1 = jnp.minimum(jnp.floor(umax), w - 1.0).astype(jnp.int32)
         y0 = jnp.maximum(jnp.ceil(vmin), 0.0).astype(jnp.int32)
         y1 = jnp.minimum(jnp.floor(vmax), h - 1.0).astype(jnp.int32)
-
         tx0, tx1 = x0 // TILE, x1 // TILE
         ty0, ty1 = y0 // TILE, y1 // TILE
-        tsx = tx1 - tx0 + 1
-        tsy = ty1 - ty0 + 1
-        ts = jnp.maximum(tsx, tsy)
+        ts = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
-        tier_a = valid & (ts <= 2)
-        tier_m = valid & (ts > 2) & (ts <= 4)
-        tier_l = valid & (ts > 4) & (ts <= 16)
-        tier_x = valid & (ts > 16)
+        a, m, l = TIER_SPANS
+        tier = jnp.where(
+            ts <= a, 0, jnp.where(ts <= m, 1, jnp.where(ts <= l, 2, 3))
+        )
+        home = ty0 * ntx + tx0
+        key = jnp.where(valid, tier * ntiles + home, 4 * ntiles)
 
         ids = jnp.arange(nf, dtype=jnp.int32)
-        tiles_a = _tier_slots(tx0, ty0, tx1, ty1, tier_a, ntx, nty, 2)
-        ids_a = jnp.broadcast_to(ids[:, None], tiles_a.shape)
-
-        def select(mask, cap):
-            prio = jnp.where(mask, span, -1.0)
-            _, idx = lax.top_k(prio, cap)
-            sel_ok = prio[idx] > 0
-            return idx, sel_ok
-
-        m_idx, m_ok = select(tier_m, med_cap)
-        tiles_m = _tier_slots(tx0[m_idx], ty0[m_idx], tx1[m_idx], ty1[m_idx],
-                              m_ok, ntx, nty, 4)
-        ids_m = jnp.broadcast_to(m_idx[:, None], tiles_m.shape)
-
-        l_idx, l_ok = select(tier_l, lg_cap)
-        tiles_l = _tier_slots(tx0[l_idx], ty0[l_idx], tx1[l_idx], ty1[l_idx],
-                              l_ok, ntx, nty, 16)
-        ids_l = jnp.broadcast_to(l_idx[:, None], tiles_l.shape)
-
-        x_idx, x_ok = select(tier_x, xl_cap)
-        all_tiles = jnp.arange(ntiles, dtype=jnp.int32)
-        tiles_x = jnp.where(x_ok[:, None], all_tiles[None, :], ntiles)
-        ids_x = jnp.broadcast_to(x_idx[:, None], tiles_x.shape)
-
-        tile_ids = jnp.concatenate(
-            [t.reshape(-1) for t in (tiles_a, tiles_m, tiles_l, tiles_x)]
+        key_sorted, id_sorted = lax.sort(
+            (key.astype(jnp.int32), ids), num_keys=1
         )
-        tri_ids = jnp.concatenate(
-            [t.reshape(-1) for t in (ids_a, ids_m, ids_l, ids_x)]
-        )
-        # sort by tile; sentinel (ntiles) sinks to the end
-        tile_sorted, tri_sorted = lax.sort((tile_ids, tri_ids), num_keys=1)
         starts = jnp.searchsorted(
-            tile_sorted, jnp.arange(ntiles + 1, dtype=jnp.int32)
+            key_sorted, jnp.arange(4 * ntiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
 
-        # per-entry data, entries on the lane axis
-        dat = jnp.concatenate([px, py, z], axis=-1)  # [nf, 9]
-        gathered = dat[tri_sorted]  # [E, 9]
-        row_id = tri_sorted.astype(jnp.float32)[:, None]
+        feat = jnp.concatenate(
+            [px, py, z, ids.astype(jnp.float32)[:, None]], axis=-1
+        )  # [nf, 10]
+        gathered = feat[id_sorted]  # [nf, 10]
         full = jnp.concatenate(
-            [gathered, row_id,
-             jnp.zeros((gathered.shape[0], 6), jnp.float32)], -1
-        )  # [E, 16]
-        overflow = jnp.stack(
-            [
-                jnp.maximum(jnp.sum(tier_m.astype(jnp.int32)) - med_cap, 0),
-                jnp.maximum(jnp.sum(tier_l.astype(jnp.int32)) - lg_cap, 0),
-                jnp.maximum(jnp.sum(tier_x.astype(jnp.int32)) - xl_cap, 0),
-            ]
-        )
-        return full.T, starts, overflow  # [16, E], [ntiles+1], [3]
+            [gathered, jnp.zeros((nf, 6), jnp.float32)], -1
+        )  # [nf, 16]
+        return full.T, starts
 
-    dat, starts, overflow = jax.vmap(per_batch)(v)
-    # pad E to a CHUNK multiple plus one guard chunk for in-bounds DMA
-    E = dat.shape[-1]
-    pad = (-E) % CHUNK + CHUNK
+    dat, starts = jax.vmap(per_batch)(v)
+    pad = (-nf) % CHUNK + CHUNK  # guard chunk keeps aligned DMAs in-bounds
     dat = jnp.pad(dat, ((0, 0), (0, 0), (0, pad)))
-    return dat, starts, overflow
-
-
-# --------------------------------------------------------------------------
-# kernel
-# --------------------------------------------------------------------------
+    return dat, starts
 
 
 def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
-    """Candidate evaluation on [64 px, 128 entry] blocks; mirrors
+    """Candidate evaluation on [64 px, 128 tri] blocks; mirrors
     rasterize._eval_candidate (same branches, same clamps)."""
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
@@ -268,8 +206,7 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
     cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
 
     if perspective:
-        # vertices with z >= -eps were pre-culled in _setup (persp_ok); the
-        # per-vertex z here is the NDC z (negative in front of the camera)
+        # vertices with z >= -eps were pre-culled in _setup (persp_ok)
         z0s = jnp.where(z0 < -eps, z0, -1.0)
         z1s = jnp.where(z1 < -eps, z1, -1.0)
         z2s = jnp.where(z2 < -eps, z2, -1.0)
@@ -281,14 +218,12 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
     return depth, cov
 
 
-def _make_kernel(h, w, ntx, perspective, eps):
+def _make_kernel(h, w, ntx, nty, perspective, eps):
+    ntiles = ntx * nty
+
     def kernel(starts_ref, dat_ref, win_ref, scr_ref, sem):
         b = pl.program_id(0)
         t = pl.program_id(1)
-        start = starts_ref[b, t]
-        end = starts_ref[b, t + 1]
-        n = end - start
-
         ty = t // ntx
         tx = t % ntx
         pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
@@ -296,38 +231,67 @@ def _make_kernel(h, w, ntx, perspective, eps):
         Yf = (ty * TILE + pix // TILE).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        # HBM DMA lane offsets must be 128-aligned: stream absolute-aligned
-        # chunks covering [start, end) and mask the tails
-        c0 = start // CHUNK
-        nchunks = (end - c0 * CHUNK + CHUNK - 1) // CHUNK
-
-        def body(c, state):
-            zb, wb = state
-            off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
-            cp = pltpu.make_async_copy(
-                dat_ref.at[b, :, pl.ds(off, CHUNK)], scr_ref, sem
+        def scan_range(state, start, end):
+            """Stream triangles [start, end) through the z-buffer."""
+            c0 = start // CHUNK
+            nchunks = jnp.where(
+                end > start, (end - c0 * CHUNK + CHUNK - 1) // CHUNK, 0
             )
-            cp.start()
-            cp.wait()
-            scr = scr_ref[:]
-            depth, cov = _kernel_eval(scr, Xf, Yf, h, w, perspective, eps)
-            pos = off + lane
-            cov = cov & (pos >= start) & (pos < end)
-            ids = scr[9:10, :]
-            zm = jnp.where(cov, depth, _NEG_INF)  # [64, 128]
-            zc = jnp.max(zm, axis=1, keepdims=True)  # [64, 1]
-            idc = jnp.min(
-                jnp.where(cov & (zm == zc), ids, _BIG_ID), axis=1, keepdims=True
-            )
-            better = zc > zb
-            equal = zc == zb
-            wb = jnp.where(better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb))
-            zb = jnp.maximum(zb, zc)
-            return zb, wb
 
-        zb0 = jnp.full((TILE * TILE, 1), _NEG_INF, jnp.float32)
-        wb0 = jnp.full((TILE * TILE, 1), _BIG_ID, jnp.float32)
-        zb, wb = jax.lax.fori_loop(0, nchunks, body, (zb0, wb0))
+            def body(c, st):
+                zb, wb = st
+                off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
+                cp = pltpu.make_async_copy(
+                    dat_ref.at[b, :, pl.ds(off, CHUNK)], scr_ref, sem
+                )
+                cp.start()
+                cp.wait()
+                scr = scr_ref[:]
+                depth, cov = _kernel_eval(scr, Xf, Yf, h, w, perspective, eps)
+                pos = off + lane
+                cov = cov & (pos >= start) & (pos < end)
+                ids = scr[9:10, :]
+                zm = jnp.where(cov, depth, _NEG_INF)  # [64, 128]
+                zc = jnp.max(zm, axis=1, keepdims=True)  # [64, 1]
+                idc = jnp.min(
+                    jnp.where(cov & (zm == zc), ids, _BIG_ID),
+                    axis=1, keepdims=True,
+                )
+                better = zc > zb
+                equal = zc == zb
+                wb = jnp.where(
+                    better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb)
+                )
+                zb = jnp.maximum(zb, zc)
+                return zb, wb
+
+            return jax.lax.fori_loop(0, nchunks, body, state)
+
+        state = (
+            jnp.full((TILE * TILE, 1), _NEG_INF, jnp.float32),
+            jnp.full((TILE * TILE, 1), _BIG_ID, jnp.float32),
+        )
+
+        # tier neighborhoods: homes in rows [ty-span+1, ty], cols
+        # [tx-span+1, tx]; one contiguous sorted segment per home row
+        for tier, span in enumerate(TIER_SPANS):
+            base = tier * ntiles
+            col_lo = jnp.maximum(tx - (span - 1), 0)
+            for dy in range(span):
+                row = ty - dy
+                row_ok = row >= 0
+                row_safe = jnp.maximum(row, 0)
+                seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
+                seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
+                seg_lo = jnp.where(row_ok, seg_lo, 0)
+                seg_hi = jnp.where(row_ok, seg_hi, 0)
+                state = scan_range(state, seg_lo, seg_hi)
+        # XL tier: one global segment
+        state = scan_range(
+            state, starts_ref[b, 3 * ntiles], starts_ref[b, 4 * ntiles]
+        )
+
+        zb, wb = state
         win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
         win_ref[0, 0, :, :] = win.reshape(TILE, TILE)
 
@@ -347,7 +311,7 @@ def rasterize_winners_pallas(v, tri, h: int, w: int,
     ntx, nty = w // TILE, h // TILE
     ntiles = ntx * nty
 
-    dat, starts, _overflow = build_bins(v, tri, h, w, perspective, eps)
+    dat, starts = build_bins(v, tri, h, w, perspective, eps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -364,7 +328,7 @@ def rasterize_winners_pallas(v, tri, h: int, w: int,
         ],
     )
     win = pl.pallas_call(
-        _make_kernel(h, w, ntx, perspective, eps),
+        _make_kernel(h, w, ntx, nty, perspective, eps),
         out_shape=jax.ShapeDtypeStruct((B, ntiles, TILE, TILE), jnp.int32),
         grid_spec=grid_spec,
     )(starts, dat)
@@ -374,10 +338,7 @@ def rasterize_winners_pallas(v, tri, h: int, w: int,
 
 
 def bin_overflow(v, tri, h, w, perspective=False, eps=1e-6):
-    """Diagnostic: [B, 3] tier overflow counts (must be all zero for exact
-    results; raise the caps otherwise)."""
-    v = lax.stop_gradient(jnp.asarray(v, jnp.float32))
-    _, _, overflow = build_bins(
-        v, jnp.asarray(tri, jnp.int32), h, w, perspective, eps
-    )
-    return overflow
+    """Diagnostic kept for API compatibility: the home-tile scheme has no
+    static capacities, so overflow is structurally impossible -> zeros."""
+    B = jnp.asarray(v).shape[0] if jnp.asarray(v).ndim == 3 else 1
+    return jnp.zeros((B, 3), jnp.int32)
