@@ -145,6 +145,36 @@ class MappingNetwork(nn.Module):
         return w
 
 
+def make_noise(rng, size: int, batch: int = 1):
+    """Per-layer noise list (reference model.py:125-131): one 4x4 map, then
+    two per resolution 8..size."""
+    log_size = int(math.log2(size))
+    num_layers = (log_size - 2) * 2 + 1
+    keys = jax.random.split(rng, num_layers)
+    out = []
+    for i in range(num_layers):
+        res = 2 ** ((i + 5) // 2)
+        out.append(jax.random.normal(keys[i], (batch, res, res, 1)))
+    return out
+
+
+def _noise_buffers(module, num_layers: int):
+    """Fixed per-layer noise constants in the 'noises' collection — the
+    reference's registered noise_%d buffers (model.py:114-119)."""
+    out = []
+    for i in range(num_layers):
+        res = 2 ** ((i + 5) // 2)
+        out.append(
+            module.variable(
+                "noises", f"noise_{i}",
+                lambda res=res, i=i: jax.random.normal(
+                    jax.random.PRNGKey(i), (1, res, res, 1)
+                ),
+            )
+        )
+    return out
+
+
 def _mix_styles(styles, n_latent: int, inject_index, truncation, truncation_latent):
     """Build the [B, n_latent, D] per-layer latents with optional truncation
     and two-style mixing (model.py:241-258), static shapes throughout."""
@@ -217,6 +247,7 @@ class Generator(nn.Module):
             in_channel = out_channel
         self.convs = convs
         self.to_rgbs = to_rgbs
+        self.noise_consts = _noise_buffers(self, self.num_layers)
 
     def get_latent(self, z):
         return self.style(z)
@@ -234,13 +265,17 @@ class Generator(nn.Module):
         truncation_latent=None,
         input_is_latent: bool = False,
         noise=None,
+        randomize_noise: bool = True,
     ):
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
         if not input_is_latent:
             styles = [self.style(s) for s in styles]
         if noise is None:
-            noise = [None] * self.num_layers
+            if randomize_noise:
+                noise = [None] * self.num_layers
+            else:  # stored constant buffers (model.py:148-153)
+                noise = [v.value for v in self.noise_consts]
         latent = _mix_styles(
             styles, self.n_latent, inject_index, truncation, truncation_latent
         )
@@ -334,6 +369,7 @@ class GeneratorWithMap(nn.Module):
         self.to_rgbs = to_rgbs
         self.norm_to_style = norm_to_style
         self.norm_to_style_pre = norm_to_style_pre
+        self.noise_consts = _noise_buffers(self, self.num_layers)
 
     def get_latent(self, z):
         return self.style(z)
@@ -410,11 +446,14 @@ class GeneratorWithMap(nn.Module):
         truncation_latent=None,
         input_is_latent: bool = False,
         noise=None,
+        randomize_noise: bool = True,
     ):
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
         if not input_is_latent:
             styles = [self.style(s) for s in styles]
+        if noise is None and not randomize_noise:
+            noise = [v.value for v in self.noise_consts]
         latent = _mix_styles(
             styles, self.n_latent, inject_index, truncation, truncation_latent
         )

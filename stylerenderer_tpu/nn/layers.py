@@ -293,6 +293,14 @@ class ConvLayer(nn.Module):
             stride, padding = 2, 0
         else:
             stride, padding = 1, self.kernel_size // 2
+        if isinstance(self.activate, str) and "sp" in self.activate.lower():
+            # spectral-norm conv, no activation (layers.py:357-364)
+            from stylerenderer_tpu.nn.spectral import SpectralEqualConv2d
+
+            return SpectralEqualConv2d(
+                self.out_channel, self.kernel_size, stride, padding,
+                use_bias=self.use_bias, name="conv_sp",
+            )(x)
         x = EqualConv2d(
             self.out_channel, self.kernel_size, stride, padding,
             use_bias=self.use_bias, dtype=self.dtype, name="conv",

@@ -103,3 +103,72 @@ class SpectralNorm(nn.Module):
         else:
             sigma = spectral_sigma_exact(w)
         return apply_fn(w / sigma, *args)
+
+
+class SpectralEqualConv2d(nn.Module):
+    """EqualConv2d with spectral weight normalization — the reference's
+    ``SpectralNorm(EqualConv2d(...))`` used by ConvLayer's 'sp' activation
+    (layers.py:357-364). NHWC/HWIO; power-iteration state in 'spectral'."""
+
+    out_channel: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    power_iterations: int = 1
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        from jax import lax
+
+        in_channel = x.shape[-1]
+        k = self.kernel_size
+        # torch layout puts out_channel first for the power iteration;
+        # store OIHW-shaped bar weight and transpose for the conv
+        w_bar = self.param(
+            "weight_bar", nn.initializers.normal(stddev=1.0),
+            (self.out_channel, in_channel, k, k),
+        )
+        height = self.out_channel
+        width = in_channel * k * k
+        w2d = w_bar.reshape(height, width)
+        if self.power_iterations > 0:
+            u = self.variable(
+                "spectral", "u",
+                lambda: normalize_vec(
+                    jax.random.normal(self.make_rng("params"), (height,))
+                ),
+            )
+            v = self.variable(
+                "spectral", "v",
+                lambda: normalize_vec(
+                    jax.random.normal(self.make_rng("params"), (width,))
+                ),
+            )
+            uv, vv = u.value, v.value
+            for _ in range(self.power_iterations):
+                vv = normalize_vec(w2d.T @ uv, eps=self.eps)
+                uv = normalize_vec(w2d @ vv, eps=self.eps)
+            uv = jax.lax.stop_gradient(uv)
+            vv = jax.lax.stop_gradient(vv)
+            if not self.is_initializing():
+                u.value = uv
+                v.value = vv
+            sigma = uv @ (w2d @ vv)
+        else:
+            sigma = spectral_sigma_exact(w_bar)
+        w = (w_bar / sigma).transpose(2, 3, 1, 0)  # -> HWIO
+        scale = 1.0 / math.sqrt(in_channel * k * k)
+        y = lax.conv_general_dilated(
+            x, (w * scale).astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
+            y = y + b.astype(y.dtype)
+        return y

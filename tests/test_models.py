@@ -158,3 +158,37 @@ def test_generator_grads():
     assert np.isfinite(np.asarray(gv)).all()
     # geometry gradient must be non-zero (the renderer is differentiable in v)
     assert float(jnp.abs(gv).sum()) > 0
+
+
+def test_stored_noise_buffers_deterministic():
+    """randomize_noise=False uses the registered noise constants
+    (model.py:148-153): two calls give identical images, no noise rng needed."""
+    g = Generator(16, 32, 2)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 32))
+    params = g.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, [z]
+    )
+    img1, _ = g.apply(params, [z], randomize_noise=False)
+    img2, _ = g.apply(params, [z], randomize_noise=False)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert "noises" in params
+
+
+def test_make_noise_shapes():
+    from stylerenderer_tpu.models.generator import make_noise
+
+    noise = make_noise(jax.random.PRNGKey(0), 32, batch=2)
+    assert [n.shape[1] for n in noise] == [4, 8, 8, 16, 16, 32, 32]
+    assert all(n.shape == (2, n.shape[1], n.shape[1], 1) for n in noise)
+
+
+def test_conv_layer_spectral_norm_option():
+    from stylerenderer_tpu.nn.layers import ConvLayer
+
+    m = ConvLayer(6, 3, activate="sp")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    assert "spectral" in variables
+    y, mut = m.apply(variables, x, mutable=["spectral"])
+    assert y.shape == (2, 8, 8, 6)
+    assert np.isfinite(np.asarray(y)).all()
