@@ -158,20 +158,14 @@ def make_noise(rng, size: int, batch: int = 1):
     return out
 
 
-def _noise_buffers(module, num_layers: int):
-    """Fixed per-layer noise constants in the 'noises' collection — the
-    reference's registered noise_%d buffers (model.py:114-119)."""
+def stored_noise(num_layers: int):
+    """Fixed per-layer noise constants — the reference's registered
+    noise_%d buffers (model.py:114-119). Deterministic (fixed seeds), so
+    they need no checkpoint storage; XLA folds them into the executable."""
     out = []
     for i in range(num_layers):
         res = 2 ** ((i + 5) // 2)
-        out.append(
-            module.variable(
-                "noises", f"noise_{i}",
-                lambda res=res, i=i: jax.random.normal(
-                    jax.random.PRNGKey(i), (1, res, res, 1)
-                ),
-            )
-        )
+        out.append(jax.random.normal(jax.random.PRNGKey(i), (1, res, res, 1)))
     return out
 
 
@@ -247,7 +241,6 @@ class Generator(nn.Module):
             in_channel = out_channel
         self.convs = convs
         self.to_rgbs = to_rgbs
-        self.noise_consts = _noise_buffers(self, self.num_layers)
 
     def get_latent(self, z):
         return self.style(z)
@@ -275,7 +268,7 @@ class Generator(nn.Module):
             if randomize_noise:
                 noise = [None] * self.num_layers
             else:  # stored constant buffers (model.py:148-153)
-                noise = [v.value for v in self.noise_consts]
+                noise = stored_noise(self.num_layers)
         latent = _mix_styles(
             styles, self.n_latent, inject_index, truncation, truncation_latent
         )
@@ -369,7 +362,6 @@ class GeneratorWithMap(nn.Module):
         self.to_rgbs = to_rgbs
         self.norm_to_style = norm_to_style
         self.norm_to_style_pre = norm_to_style_pre
-        self.noise_consts = _noise_buffers(self, self.num_layers)
 
     def get_latent(self, z):
         return self.style(z)
@@ -453,7 +445,7 @@ class GeneratorWithMap(nn.Module):
         if not input_is_latent:
             styles = [self.style(s) for s in styles]
         if noise is None and not randomize_noise:
-            noise = [v.value for v in self.noise_consts]
+            noise = stored_noise(self.num_layers)
         latent = _mix_styles(
             styles, self.n_latent, inject_index, truncation, truncation_latent
         )
