@@ -151,13 +151,28 @@ def main(argv=None):
     timer = StepTimer()
     os.makedirs(os.path.join(args.out_dir, "sample"), exist_ok=True)
 
+    from stylerenderer_tpu.utils.guards import TrainGuard
+
+    def restore_latest():
+        if latest_step(ckpt_dir) is None:
+            raise RuntimeError(
+                "non-finite training metrics and no checkpoint to restore from"
+            )
+        s, _ = load_checkpoint(ckpt_dir, jax.device_get(state))
+        print("guard: restored from latest checkpoint")
+        return replicate(mesh, s)
+
+    guard = TrainGuard(restore_fn=restore_latest)
+
     with mesh:
         for i in range(start_iter, cfg.iter):
             real = shard_batch(mesh, jnp.asarray(next(loader)))
+            prev_state = state
             state, metrics = step_fn(state, real)
             timer.tick()
             if i % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                state = guard.check(i, state, m, prev_state)
                 m["imgs_per_sec"] = timer.images_per_sec(cfg.batch)
                 logger.log(i, m)
                 if i % (args.log_every * 10) == 0:

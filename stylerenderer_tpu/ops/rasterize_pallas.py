@@ -232,21 +232,35 @@ def _make_kernel(h, w, ntx, nty, perspective, eps):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
         def scan_range(state, start, end):
-            """Stream triangles [start, end) through the z-buffer."""
+            """Stream triangles [start, end) through the z-buffer with
+            double-buffered DMA (chunk c+1 in flight while c computes)."""
             c0 = start // CHUNK
             nchunks = jnp.where(
                 end > start, (end - c0 * CHUNK + CHUNK - 1) // CHUNK, 0
             )
 
+            def dma(c, slot):
+                off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
+                return pltpu.make_async_copy(
+                    dat_ref.at[b, :, pl.ds(off, CHUNK)],
+                    scr_ref.at[slot], sem.at[slot],
+                )
+
+            @pl.when(nchunks > 0)
+            def _():
+                dma(0, 0).start()
+
             def body(c, st):
                 zb, wb = st
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    dma(c + 1, 1 - slot).start()
+
+                dma(c, slot).wait()
+                scr = scr_ref[slot]
                 off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
-                cp = pltpu.make_async_copy(
-                    dat_ref.at[b, :, pl.ds(off, CHUNK)], scr_ref, sem
-                )
-                cp.start()
-                cp.wait()
-                scr = scr_ref[:]
                 depth, cov = _kernel_eval(scr, Xf, Yf, h, w, perspective, eps)
                 pos = off + lane
                 cov = cov & (pos >= start) & (pos < end)
@@ -323,8 +337,8 @@ def rasterize_winners_pallas(v, tri, h: int, w: int,
             (1, 1, TILE, TILE), lambda b, t, starts: (b, t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     win = pl.pallas_call(
