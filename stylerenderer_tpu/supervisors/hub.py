@@ -1,0 +1,78 @@
+"""Assemble the extra_heads dict for make_train_step (train.py:502-528
+semantics: each supervisor is optional; missing ones are skipped)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _make_sfs(rng, image_size, params):
+    from stylerenderer_tpu.supervisors.face_normals import ResNetUNet
+
+    net = ResNetUNet()
+    if params is None:
+        params = net.init(rng, jnp.zeros((1, image_size, image_size, 3)))[
+            "params"
+        ]
+
+    def sfs_fn(img, net=net, params=params):
+        n, _ = net.apply({"params": params}, img)
+        return n
+
+    return sfs_fn
+
+
+def _make_lmk(rng, params):
+    from stylerenderer_tpu.supervisors.landmark import PFLDInference
+
+    net = PFLDInference()
+    size = 112
+    if params is None:
+        params = net.init(rng, jnp.zeros((1, size, size, 3)))["params"]
+
+    def lmk_fn(img, net=net, params=params, size=size):
+        x = jax.image.resize(img, (img.shape[0], size, size, 3), "bilinear")
+        return net.apply({"params": params}, (x + 1) / 2)
+
+    return lmk_fn
+
+
+def _make_feat(rng, params):
+    from stylerenderer_tpu.supervisors.recognition import InceptionResnetV1
+
+    net = InceptionResnetV1()
+    size = 160
+    if params is None:
+        params = net.init(rng, jnp.zeros((1, size, size, 3)))["params"]
+
+    def feat_fn(img, net=net, params=params, size=size):
+        x = jax.image.resize(img, (img.shape[0], size, size, 3), "bilinear")
+        return net.apply({"params": params}, x)
+
+    return feat_fn
+
+
+def make_extra_heads(
+    rng,
+    *,
+    sfs: bool = False,
+    lmk: bool = False,
+    feat: bool = False,
+    image_size: int = 256,
+    sfs_params=None,
+    lmk_params=None,
+    feat_params=None,
+):
+    """Build ``{'sfs': fn, 'lmk': fn, 'feat': fn}`` callables closing over
+    frozen parameters (converted from published torch weights when given,
+    else fixed-seed random — architecture-correct stand-ins)."""
+    heads = {}
+    k1, k2, k3 = jax.random.split(rng, 3)
+    if sfs:
+        heads["sfs"] = _make_sfs(k1, image_size, sfs_params)
+    if lmk:
+        heads["lmk"] = _make_lmk(k2, lmk_params)
+    if feat:
+        heads["feat"] = _make_feat(k3, feat_params)
+    return heads
