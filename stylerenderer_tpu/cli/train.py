@@ -51,6 +51,15 @@ def build_argparser():
                    choices=["float32", "bfloat16"])
     p.add_argument("--pyramid_mode", type=str, default="each",
                    choices=["each", "downsample"])
+    # perceptual supervisors (reference thirdparty nets, train.py:502-528)
+    p.add_argument("--sfs", action="store_true",
+                   help="shape-from-shading normal-consistency loss")
+    p.add_argument("--lmk", action="store_true",
+                   help="landmark-consistency loss on geometry-paired batches")
+    p.add_argument("--feat", action="store_true",
+                   help="identity-consistency loss on shape-paired batches")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for the first N steps")
     return p
 
 
@@ -123,7 +132,17 @@ def main(argv=None):
         print(f"resumed from {args.ckpt} at step {start_iter}")
 
     augment_fn = ada_augment if cfg.augment else None
-    step_fn = jax.jit(make_train_step(cfg, gen, disc, face, tri, augment_fn))
+    extra_heads = None
+    if args.sfs or args.lmk or args.feat:
+        from stylerenderer_tpu.supervisors import make_extra_heads
+
+        extra_heads = make_extra_heads(
+            jax.random.PRNGKey(cfg.seed + 1), sfs=args.sfs, lmk=args.lmk,
+            feat=args.feat, image_size=cfg.size,
+        )
+    step_fn = jax.jit(
+        make_train_step(cfg, gen, disc, face, tri, augment_fn, extra_heads)
+    )
 
     # multi-device SPMD
     mesh = make_mesh()
@@ -166,10 +185,19 @@ def main(argv=None):
 
     with mesh:
         for i in range(start_iter, cfg.iter):
+            if args.profile_steps and i == start_iter + 1:
+                from stylerenderer_tpu.utils.logging import start_profiler_trace
+
+                start_profiler_trace(os.path.join(args.out_dir, "profile"))
             real = shard_batch(mesh, jnp.asarray(next(loader)))
             prev_state = state
             state, metrics = step_fn(state, real)
             timer.tick()
+            if args.profile_steps and i == start_iter + args.profile_steps:
+                from stylerenderer_tpu.utils.logging import stop_profiler_trace
+
+                jax.block_until_ready(state.g_params)
+                stop_profiler_trace()
             if i % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 state = guard.check(i, state, m, prev_state)
