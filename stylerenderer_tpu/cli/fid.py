@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +55,7 @@ def main(argv=None):
     model, inc_params = load_patched_inception_v3(args.inception_weights or None)
     inc_apply = jax.jit(lambda x: model.apply({"params": inc_params}, x))
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def sample_fn(rng, batch):
         kz, km, kp, kn = jax.random.split(rng, 4)
         z = jax.random.normal(kz, (batch, args.latent))

@@ -7,8 +7,8 @@ JAX-side binning (one nf-length sort, no per-entry expansion):
   1. per-triangle setup: projected verts, validity, integer bbox in 8x8
      tile coordinates;
   2. every triangle gets ONE key: ``tier * ntiles + home`` where home is its
-     bbox' top-left tile and the tier encodes its tile span —
-     A: <= 2x2 tiles, M: <= 4x4, L: <= 16x16, XL: anything bigger;
+     bbox' top-left tile and the tier encodes its tile span (TIER_SPANS:
+     single-tile, <= 2x2, <= 4x4, <= 16x16, XL = anything bigger);
   3. one ``lax.sort`` of (key, tri_id) + ``searchsorted`` segment starts;
   4. per-triangle data gathered once in sorted order as ``[16, nf]`` f32
      (triangles on lanes): rows 0-2 px, 3-5 py, 6-8 z, 9 id.
@@ -16,10 +16,8 @@ JAX-side binning (one nf-length sort, no per-entry expansion):
 Pallas kernel (grid = (B, n_tiles)): a tile is touched only by triangles
 whose home lies in a tier-sized neighborhood up/left of it, and homes along
 one tile row are CONTIGUOUS in sort order — so each tile's worklist is a
-handful of contiguous segments of the sorted array:
-  A: 2 ranges (rows ty-1..ty, cols tx-1..tx),
-  M: 4 ranges (rows ty-3..ty, cols tx-3..tx),
-  L: 16 ranges, XL: 1 global range.
+handful of contiguous segments of the sorted array (one per home row per
+tier: 1 + 2 + 4 + 16 ranges + 1 global XL range).
 Each range is streamed HBM->VMEM in 128-triangle chunks (DMA offsets forced
 128-aligned, tails masked) and evaluated with dense-path-identical candidate
 math on [64 px, 128 tri] VPU blocks into an in-register z-buffer with
@@ -50,8 +48,10 @@ CHUNK = 128
 _BIG_ID = np.float32(2**24)  # ids stored in f32; nf must stay below this
 _NEG_INF = np.float32(-3.0e38)
 
-# tier tile-span limits; a tile scans homes in a (span x span) neighborhood
-TIER_SPANS = (2, 4, 16)  # A, M, L; XL = everything bigger, scanned globally
+# tier tile-span limits; a tile scans homes in a (span x span) neighborhood.
+# tier 0 (single-tile triangles — the vast majority of a dense face mesh)
+# costs exactly one home segment per tile.
+TIER_SPANS = (1, 2, 4, 16)  # XL = everything bigger, scanned globally
 
 
 def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float):
@@ -77,19 +77,19 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float):
         ty0, ty1 = y0 // TILE, y1 // TILE
         ts = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
-        a, m, l = TIER_SPANS
-        tier = jnp.where(
-            ts <= a, 0, jnp.where(ts <= m, 1, jnp.where(ts <= l, 2, 3))
-        )
+        n_tiers = len(TIER_SPANS) + 1  # + XL
+        tier = jnp.full(ts.shape, len(TIER_SPANS), jnp.int32)
+        for k in range(len(TIER_SPANS) - 1, -1, -1):
+            tier = jnp.where(ts <= TIER_SPANS[k], k, tier)
         home = ty0 * ntx + tx0
-        key = jnp.where(valid, tier * ntiles + home, 4 * ntiles)
+        key = jnp.where(valid, tier * ntiles + home, n_tiers * ntiles)
 
         ids = jnp.arange(nf, dtype=jnp.int32)
         key_sorted, id_sorted = lax.sort(
             (key.astype(jnp.int32), ids), num_keys=1
         )
         starts = jnp.searchsorted(
-            key_sorted, jnp.arange(4 * ntiles + 1, dtype=jnp.int32)
+            key_sorted, jnp.arange(n_tiers * ntiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
 
         feat = jnp.concatenate(
@@ -301,8 +301,11 @@ def _make_kernel(h, w, ntx, nty, perspective, eps):
                 seg_hi = jnp.where(row_ok, seg_hi, 0)
                 state = scan_range(state, seg_lo, seg_hi)
         # XL tier: one global segment
+        n_tiers = len(TIER_SPANS) + 1
         state = scan_range(
-            state, starts_ref[b, 3 * ntiles], starts_ref[b, 4 * ntiles]
+            state,
+            starts_ref[b, (n_tiers - 1) * ntiles],
+            starts_ref[b, n_tiers * ntiles],
         )
 
         zb, wb = state
