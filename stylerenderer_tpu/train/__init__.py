@@ -25,3 +25,10 @@ __all__ = [
     "path_regularize",
     "r1_penalty",
 ]
+from stylerenderer_tpu.train.regressor import (  # noqa: E402
+    RegressorState,
+    make_regressor_fn,
+    make_regressor_trainer,
+)
+
+__all__ += ["RegressorState", "make_regressor_fn", "make_regressor_trainer"]
