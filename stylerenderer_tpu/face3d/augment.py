@@ -116,17 +116,20 @@ def random_pose2d(rng, img, p=POSE_P):
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
-    x = ((xs - w / 2.0) / m)[None].repeat(b, 0)  # [b,h,w]
-    y = ((h / 2.0 - ys) / m)[None].repeat(b, 0)
+    # pixel-CENTER coordinates so the identity transform resamples exactly
+    # (align_corners=False convention in _bilinear_sample)
+    x = ((xs + 0.5 - w / 2.0) / m)[None].repeat(b, 0)  # [b,h,w]
+    y = ((h / 2.0 - ys - 0.5) / m)[None].repeat(b, 0)
     x = jnp.where(flip[:, :, None], -x, x)
     x = x - tx[:, :, None]
     y = y - ty[:, :, None]
 
-    # border-safe minimum zoom: rotated output corners must stay inside
+    # border-safe minimum zoom: rotated output corners must stay inside the
+    # pixel-CENTER extent (w-1, h-1), matching the sampling convention
     cx = jnp.stack([x[:, 0, 0], x[:, 0, -1], x[:, -1, 0], x[:, -1, -1]], 1)
     cy = jnp.stack([y[:, 0, 0], y[:, 0, -1], y[:, -1, 0], y[:, -1, -1]], 1)
-    rx = (cs * cx + sn * cy) * (max(w, h) / float(w))
-    ry = (-sn * cx + cs * cy) * (max(w, h) / float(h))
+    rx = (cs * cx + sn * cy) * (2.0 * m / max(w - 1.0, 1.0))
+    ry = (-sn * cx + cs * cy) * (2.0 * m / max(h - 1.0, 1.0))
     fmax = jnp.max(jnp.abs(jnp.concatenate([rx, ry], 1)), 1, keepdims=True)
     f = jnp.maximum(f, fmax)
 
@@ -138,6 +141,52 @@ def random_pose2d(rng, img, p=POSE_P):
     xg = x * (max(w, h) / float(w))
     yg = -y * (max(w, h) / float(h))
     return _bilinear_sample(img, xg, yg)
+
+
+def random_pose2d_cam(rng, cam, p=POSE_P, in_size=None, out_size=None):
+    """Apply the random 2D pose to CAMERA matrices instead of pixels
+    (utils_3d.py:233-254, the ``img is None, cam is not None`` branch):
+    scale the focal block by exp(N(0, s)), shift the principal point by the
+    translation, mirror it on horizontal flip.
+
+    cam: [B, 3, 3]; normalized intrinsics (principal point < 0.75) are
+    upscaled by ``in_size`` and re-normalized by ``out_size``.
+    """
+    cam = jnp.asarray(cam)
+    single = cam.ndim == 2
+    if single:
+        cam = cam[None]
+    b = cam.shape[0]
+    p = jnp.abs(jnp.asarray(p, jnp.float32))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    z = jax.random.normal(k1, (b, 3)) * p[:3]
+    f = jnp.exp(jax.random.normal(k2, (b, 1)) * p[3] + p[4])
+    flip = jax.random.uniform(k3, (b, 1)) < p[5]
+    tx, ty = z[:, 0:1], z[:, 1:2]
+
+    normalized = bool(in_size) and bool(out_size)
+    wi = hi = in_size or 1
+    wo = ho = out_size or in_size or 1
+    cam_px = cam
+    if normalized:
+        cam_px = cam * jnp.asarray([[wi], [hi], [1.0]])[None]
+    scale = jnp.concatenate(
+        [f, f, jnp.ones_like(f)] * 2 + [jnp.ones_like(f)] * 3, axis=1
+    ).reshape(b, 3, 3)
+    shift = jnp.zeros((b, 3, 3)).at[:, 0, 2].set(
+        (tx * cam_px[:, 0, 0:1])[:, 0]
+    ).at[:, 1, 2].set((-ty * cam_px[:, 1, 1:2])[:, 0])
+    out = cam_px * scale + shift
+    if normalized:
+        out = out / jnp.asarray([[wo], [ho], [1.0]])[None]
+        out = out.at[:, 0, 2].set(
+            jnp.where(flip[:, 0], 1 - out[:, 0, 2], out[:, 0, 2])
+        )
+    else:
+        out = out.at[:, 0, 2].set(
+            jnp.where(flip[:, 0], wo - out[:, 0, 2], out[:, 0, 2])
+        )
+    return out[0] if single else out
 
 
 def ada_augment(rng, img, p, color_p=COLOR_P, pose_p=POSE_P):
