@@ -150,6 +150,11 @@ def main(argv=None):
     if cfg.batch % n_dev != 0:
         raise ValueError(f"batch {cfg.batch} not divisible by {n_dev} devices")
     state = replicate(mesh, state)
+    # overlap H2D transfer with the device step
+    from stylerenderer_tpu.data import device_prefetch
+    from stylerenderer_tpu.parallel import batch_sharding
+
+    loader = device_prefetch(loader, depth=2, sharding=batch_sharding(mesh))
 
     # fixed evaluation set (train.py:225-230)
     k1, k2, k3 = jax.random.split(ksample, 3)
@@ -189,7 +194,7 @@ def main(argv=None):
                 from stylerenderer_tpu.utils.logging import start_profiler_trace
 
                 start_profiler_trace(os.path.join(args.out_dir, "profile"))
-            real = shard_batch(mesh, jnp.asarray(next(loader)))
+            real = next(loader)
             prev_state = state
             state, metrics = step_fn(state, real)
             timer.tick()

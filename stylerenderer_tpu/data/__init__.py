@@ -1,6 +1,7 @@
 from stylerenderer_tpu.data.dataset import (
     ImageFolderDataset,
     SRPackDataset,
+    device_prefetch,
     prefetch_batches,
     to_train_tensor,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "SRPackDataset",
     "SRPackReader",
     "SRPackWriter",
+    "device_prefetch",
     "list_images",
     "prefetch_batches",
     "prepare",

@@ -89,6 +89,27 @@ class ImageFolderDataset:
         return np.stack([self[int(i)] for i in indices])
 
 
+def device_prefetch(iterator, depth: int = 2, sharding=None):
+    """Overlap host->device transfer with compute: keep ``depth`` batches
+    in flight on device ahead of the consumer."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(x):
+        return jax.device_put(x, sharding) if sharding is not None else \
+            jax.device_put(x)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def prefetch_batches(
     dataset, batch_size: int, *, seed: int = 0, train: bool = True,
     depth: int = 3, drop_last: bool = True,

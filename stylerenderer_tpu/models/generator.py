@@ -200,6 +200,7 @@ class Generator(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize styled convs (memory for 1024px)
 
     @property
     def log_size(self) -> int:
@@ -217,7 +218,8 @@ class Generator(nn.Module):
         ch = channel_table(self.channel_multiplier)
         self.style = MappingNetwork(self.style_dim, self.n_mlp, self.lr_mlp)
         self.input = ConstantInput(ch[4])
-        self.conv1 = StyledConv(
+        StyledConv_ = nn.remat(StyledConv) if self.remat else StyledConv
+        self.conv1 = StyledConv_(
             ch[4], 3, self.style_dim, blur_kernel=self.blur_kernel, dtype=self.dtype
         )
         self.to_rgb1 = ToRGB(self.style_dim, upsample=False, dtype=self.dtype)
@@ -226,13 +228,13 @@ class Generator(nn.Module):
         for i in range(3, self.log_size + 1):
             out_channel = ch[2**i]
             convs.append(
-                StyledConv(
+                StyledConv_(
                     out_channel, 3, self.style_dim, upsample=True,
                     blur_kernel=self.blur_kernel, dtype=self.dtype,
                 )
             )
             convs.append(
-                StyledConv(
+                StyledConv_(
                     out_channel, 3, self.style_dim,
                     blur_kernel=self.blur_kernel, dtype=self.dtype,
                 )
@@ -313,6 +315,7 @@ class GeneratorWithMap(nn.Module):
     dtype: Any = jnp.float32
     pyramid_mode: str = "each"
     rasterize_method: str = "auto"
+    remat: bool = False  # rematerialize styled convs (memory for 1024px)
 
     @property
     def log_size(self) -> int:
@@ -333,7 +336,8 @@ class GeneratorWithMap(nn.Module):
         if self.n_stylemap != 3:
             self.norm1_pre = ConvLayer(self.n_stylemap, 3, dtype=self.dtype)
         self.norm1 = ResBlock(2, downsample=False, dtype=self.dtype)
-        self.conv1 = StyledMapConv(
+        StyledMapConv_ = nn.remat(StyledMapConv) if self.remat else StyledMapConv
+        self.conv1 = StyledMapConv_(
             ch[4], 3, self.style_dim, blur_kernel=self.blur_kernel, dtype=self.dtype
         )
         self.to_rgb1 = ToRGB(self.style_dim, upsample=False, dtype=self.dtype)
@@ -342,13 +346,13 @@ class GeneratorWithMap(nn.Module):
         for i in range(3, self.log_size + 1):
             out_channel = ch[2**i]
             convs.append(
-                StyledMapConv(
+                StyledMapConv_(
                     out_channel, 3, self.style_dim, upsample=True,
                     blur_kernel=self.blur_kernel, dtype=self.dtype,
                 )
             )
             convs.append(
-                StyledMapConv(
+                StyledMapConv_(
                     out_channel, 3, self.style_dim,
                     blur_kernel=self.blur_kernel, dtype=self.dtype,
                 )

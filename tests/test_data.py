@@ -120,3 +120,16 @@ def test_to_train_tensor_range():
     x = np.asarray([[[[0, 127, 255]]]], np.uint8)
     t = to_train_tensor(x)
     np.testing.assert_allclose(t.reshape(-1), [-1.0, -0.00392157, 1.0], atol=1e-5)
+
+
+def test_device_prefetch(image_dir, tmp_path):
+    import jax
+    from stylerenderer_tpu.data import device_prefetch
+
+    prepare(image_dir, str(tmp_path / "d3.srpack"), sizes=[8], n_workers=1)
+    ds = SRPackDataset(str(tmp_path / "d3.srpack"), resolution=8)
+    it = device_prefetch(prefetch_batches(ds, 4, seed=0, train=True), depth=2)
+    batches = [next(it) for _ in range(3)]
+    for b in batches:
+        assert isinstance(b, jax.Array)
+        assert b.shape == (4, 8, 8, 3)
