@@ -44,3 +44,20 @@ def constrain_batch(x, axis: str = "data"):
     return jax.lax.with_sharding_constraint(
         x, P(axis) if isinstance(axis, str) else axis
     )
+
+
+def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
+    """2-D mesh for batch x spatial sharding — the scaling headroom axis for
+    this conv model (SURVEY.md §5.7: the 'sequence parallelism' analog here
+    is image resolution; XLA GSPMD inserts halo exchanges for convs over
+    spatially-sharded feature maps)."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_space
+    return Mesh(
+        np.asarray(devices[:n]).reshape(n_data, n_space), ("data", "space")
+    )
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC images over (batch, height)."""
+    return NamedSharding(mesh, P("data", "space"))
