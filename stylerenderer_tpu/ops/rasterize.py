@@ -267,6 +267,42 @@ def rasterize_winners(v, tri, h: int, w: int, perspective: bool = False,
     return tb.reshape(B, h, w)
 
 
+def _winner_gather(v, tex_b, tri, win, h: int, w: int):
+    """Per-pixel gather of the winning triangle's vertices (and optionally
+    per-vertex attributes, fused into the SAME gather — one take_along_axis
+    is ~2x faster on TPU than separate advanced-indexing gathers).
+
+    Returns (vidx [B,H,W,3] i32, pts [B,H,W,3,3] v.dtype,
+    gtex [B,H,W,3,C] or None).
+    """
+    B = v.shape[0]
+    win_safe = jnp.clip(win, 0, tri.shape[0] - 1)
+    vidx = tri.astype(jnp.int32)[win_safe]  # [B, H, W, 3]
+    flat = vidx.reshape(B, h * w * 3, 1)
+    if tex_b is None:
+        src = v
+    else:
+        dt = jnp.promote_types(v.dtype, tex_b.dtype)
+        src = jnp.concatenate([v.astype(dt), tex_b.astype(dt)], axis=-1)
+    g = jnp.take_along_axis(src, flat, axis=1)
+    g = g.reshape(B, h, w, 3, src.shape[-1])
+    pts = g[..., :3].astype(v.dtype)
+    gtex = g[..., 3:] if tex_b is not None else None
+    return vidx, pts, gtex
+
+
+def _coeff_from_pts(pts, h: int, w: int, perspective: bool, eps: float):
+    """Differentiable barycentric coefficients at every pixel center for the
+    given per-pixel triangle vertices ``pts [B, H, W, 3, 3]``."""
+    ys, xs = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
+    X = xs.astype(jnp.float32).reshape(1, h, w)
+    Y = ys.astype(jnp.float32).reshape(1, h, w)
+    px, py, z, persp_ok = _project_verts(pts, h, w, perspective, eps)
+    coeff, _, _ = _eval_candidate(px, py, z, persp_ok, X, Y, h, w,
+                                  perspective, eps)
+    return coeff
+
+
 def winner_coeff(v, tri, win, h: int, w: int, perspective: bool = False,
                  eps: float = 1e-6):
     """Differentiable barycentric coefficients of the winning triangles.
@@ -278,19 +314,9 @@ def winner_coeff(v, tri, win, h: int, w: int, perspective: bool = False,
       (coeff ``[B, H, W, 3]`` — zero on background, vidx ``[B, H, W, 3]`` int32
       winning vertex indices — zero on background).
     """
-    B, nv, _ = v.shape
     valid = win >= 0
-    win_safe = jnp.clip(win, 0, tri.shape[0] - 1)
-    vidx = tri.astype(jnp.int32)[win_safe]  # [B, H, W, 3]
-    pts = v[jnp.arange(B)[:, None, None, None], vidx]  # [B, H, W, 3, 3]
-
-    ys, xs = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
-    X = xs.astype(jnp.float32).reshape(1, h, w)
-    Y = ys.astype(jnp.float32).reshape(1, h, w)
-
-    px, py, z, persp_ok = _project_verts(pts, h, w, perspective, eps)
-    coeff, _, _ = _eval_candidate(px, py, z, persp_ok, X, Y, h, w,
-                                  perspective, eps)
+    vidx, pts, _ = _winner_gather(v, None, tri, win, h, w)
+    coeff = _coeff_from_pts(pts, h, w, perspective, eps)
     coeff = jnp.where(valid[..., None], coeff, 0.0)
     vidx = jnp.where(valid[..., None], vidx, 0)
     return coeff, vidx
@@ -374,10 +400,14 @@ def rasterize(v, tex, tri, h: int = 256, w: int = 0, perspective: bool = False,
 
     w = w if w > 0 else h
     win = _dispatch_winners(v, tri, h, w, perspective, eps, method)
-    coeff, vidx = winner_coeff(v, tri, win, h, w, perspective, eps)
-    # gather [B, H, W, 3, C]
-    gathered = tex_b[jnp.arange(B)[:, None, None, None], vidx]
-    out = jnp.sum(gathered * coeff[..., None].astype(tex_b.dtype), axis=-2)
+    valid = win >= 0
+    # ONE fused per-pixel gather of vertices + attributes
+    _, pts, gathered = _winner_gather(v, tex_b, tri, win, h, w)
+    coeff = _coeff_from_pts(pts, h, w, perspective, eps)
+    coeff = jnp.where(valid[..., None], coeff, 0.0)
+    out = jnp.sum(
+        gathered * coeff[..., None].astype(gathered.dtype), axis=-2
+    ).astype(tex_b.dtype)
     if scalar_tex:
         out = out[..., 0]
     if squeeze_batch:

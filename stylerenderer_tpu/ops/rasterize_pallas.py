@@ -54,11 +54,23 @@ _NEG_INF = np.float32(-3.0e38)
 TIER_SPANS = (1, 2, 4, 16)  # XL = everything bigger, scanned globally
 
 
-def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float):
+def _tile_for(h: int, w: int) -> int:
+    """Adaptive tile edge: keeps the scalar-prefetch ``starts`` array
+    (5*ntiles+1 int32) SMEM-small at high resolution (<= ~20KB)."""
+    m = max(h, w)
+    if m <= 256:
+        return TILE
+    if m <= 512:
+        return 16
+    return 32
+
+
+def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
+               tile: int = TILE):
     """-> (dat [B, 16, nf_pad] f32, starts [B, 4*ntiles+1] i32)."""
     nf = tri.shape[0]
     assert nf < _BIG_ID, "triangle ids are carried in f32"
-    ntx, nty = w // TILE, h // TILE
+    ntx, nty = w // tile, h // tile
     ntiles = ntx * nty
 
     def per_batch(vb):
@@ -73,33 +85,50 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float):
         x1 = jnp.minimum(jnp.floor(umax), w - 1.0).astype(jnp.int32)
         y0 = jnp.maximum(jnp.ceil(vmin), 0.0).astype(jnp.int32)
         y1 = jnp.minimum(jnp.floor(vmax), h - 1.0).astype(jnp.int32)
-        tx0, tx1 = x0 // TILE, x1 // TILE
-        ty0, ty1 = y0 // TILE, y1 // TILE
+        tx0, tx1 = x0 // tile, x1 // tile
+        ty0, ty1 = y0 // tile, y1 // tile
         ts = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
         n_tiers = len(TIER_SPANS) + 1  # + XL
         tier = jnp.full(ts.shape, len(TIER_SPANS), jnp.int32)
         for k in range(len(TIER_SPANS) - 1, -1, -1):
             tier = jnp.where(ts <= TIER_SPANS[k], k, tier)
+        # degenerate (|det| <= eps) triangles go to the XL tier: the hot
+        # tiers then evaluate with the segment/point fallback compiled OUT
+        # (same formula/grouping as _kernel_eval so routing == kernel math)
+        px0, px1_, px2 = px[:, 0], px[:, 1], px[:, 2]
+        py0_, py1_, py2_ = py[:, 0], py[:, 1], py[:, 2]
+        a0 = px1_ * py2_ - py1_ * px2
+        a1 = py0_ * px2 - px0 * py2_
+        a2 = px0 * py1_ - py0_ * px1_
+        det = a0 + a1 + a2
+        sgn = jnp.where(det < 0, -1.0, 1.0)
+        tier = jnp.where(det * sgn <= eps, len(TIER_SPANS), tier)
         home = ty0 * ntx + tx0
         key = jnp.where(valid, tier * ntiles + home, n_tiers * ntiles)
 
+        # carry the feature columns THROUGH the sort (multi-operand sort is
+        # ~1.6x faster on this chip than sort + row gather, and the output
+        # is already triangle-on-lanes — no [nf,16]->[16,nf] transpose)
         ids = jnp.arange(nf, dtype=jnp.int32)
-        key_sorted, id_sorted = lax.sort(
-            (key.astype(jnp.int32), ids), num_keys=1
+        ops = lax.sort(
+            (key.astype(jnp.int32),
+             px[:, 0], px[:, 1], px[:, 2],
+             py[:, 0], py[:, 1], py[:, 2],
+             z[:, 0], z[:, 1], z[:, 2], ids),
+            num_keys=1,
         )
+        key_sorted = ops[0]
         starts = jnp.searchsorted(
             key_sorted, jnp.arange(n_tiers * ntiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
 
-        feat = jnp.concatenate(
-            [px, py, z, ids.astype(jnp.float32)[:, None]], axis=-1
-        )  # [nf, 10]
-        gathered = feat[id_sorted]  # [nf, 10]
-        full = jnp.concatenate(
-            [gathered, jnp.zeros((nf, 6), jnp.float32)], -1
-        )  # [nf, 16]
-        return full.T, starts
+        zero = jnp.zeros((nf,), jnp.float32)
+        full = jnp.stack(
+            list(ops[1:10]) + [ops[10].astype(jnp.float32)] + [zero] * 6,
+            axis=0,
+        )  # [16, nf]
+        return full, starts
 
     dat, starts = jax.vmap(per_batch)(v)
     pad = (-nf) % CHUNK + CHUNK  # guard chunk keeps aligned DMAs in-bounds
@@ -107,9 +136,14 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float):
     return dat, starts
 
 
-def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
-    """Candidate evaluation on [64 px, 128 tri] blocks; mirrors
-    rasterize._eval_candidate (same branches, same clamps)."""
+def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
+    """Candidate evaluation on [px, 128 tri] blocks; mirrors
+    rasterize._eval_candidate (same branches, same clamps).
+
+    ``full=False`` compiles out the degenerate segment/point fallback
+    (~40% of the VPU ops): build_bins routes every |det| <= eps triangle
+    to the XL tier, which is the only range scanned with ``full=True`` —
+    so each candidate still sees math identical to the dense oracle."""
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
     z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
@@ -149,6 +183,12 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
     s = r0 + r1 + r2
     s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
     cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
+
+    if not full:
+        # degenerate triangles were routed away at binning time
+        co0, co1, co2 = cn0, cn1, cn2
+        cov = front & bbox_ok & in_bbox & raw_ok & nondeg
+        return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
 
     l0 = b0 * b0 + c0 * c0
     l1 = b1 * b1 + c1 * c1
@@ -204,7 +244,10 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
     co1 = jnp.where(nondeg, cn1, d1c)
     co2 = jnp.where(nondeg, cn2, d2c)
     cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
+    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
 
+
+def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
     if perspective:
         # vertices with z >= -eps were pre-culled in _setup (persp_ok)
         z0s = jnp.where(z0 < -eps, z0, -1.0)
@@ -218,7 +261,7 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps):
     return depth, cov
 
 
-def _make_kernel(h, w, ntx, nty, perspective, eps):
+def _make_kernel(h, w, ntx, nty, perspective, eps, tile=TILE):
     ntiles = ntx * nty
 
     def kernel(starts_ref, dat_ref, win_ref, scr_ref, sem):
@@ -226,12 +269,12 @@ def _make_kernel(h, w, ntx, nty, perspective, eps):
         t = pl.program_id(1)
         ty = t // ntx
         tx = t % ntx
-        pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
-        Xf = (tx * TILE + pix % TILE).astype(jnp.float32)  # [64, 1]
-        Yf = (ty * TILE + pix // TILE).astype(jnp.float32)
+        pix = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
+        Xf = (tx * tile + pix % tile).astype(jnp.float32)  # [tile², 1]
+        Yf = (ty * tile + pix // tile).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        def scan_range(state, start, end):
+        def scan_range(state, start, end, full):
             """Stream triangles [start, end) through the z-buffer with
             double-buffered DMA (chunk c+1 in flight while c computes)."""
             c0 = start // CHUNK
@@ -261,7 +304,8 @@ def _make_kernel(h, w, ntx, nty, perspective, eps):
                 dma(c, slot).wait()
                 scr = scr_ref[slot]
                 off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
-                depth, cov = _kernel_eval(scr, Xf, Yf, h, w, perspective, eps)
+                depth, cov = _kernel_eval(scr, Xf, Yf, h, w, perspective,
+                                          eps, full)
                 pos = off + lane
                 cov = cov & (pos >= start) & (pos < end)
                 ids = scr[9:10, :]
@@ -282,35 +326,51 @@ def _make_kernel(h, w, ntx, nty, perspective, eps):
             return jax.lax.fori_loop(0, nchunks, body, state)
 
         state = (
-            jnp.full((TILE * TILE, 1), _NEG_INF, jnp.float32),
-            jnp.full((TILE * TILE, 1), _BIG_ID, jnp.float32),
+            jnp.full((tile * tile, 1), _NEG_INF, jnp.float32),
+            jnp.full((tile * tile, 1), _BIG_ID, jnp.float32),
         )
 
         # tier neighborhoods: homes in rows [ty-span+1, ty], cols
-        # [tx-span+1, tx]; one contiguous sorted segment per home row
+        # [tx-span+1, tx]; one contiguous sorted segment per home row.
+        # Hot tiers hold no degenerate triangles (routed to XL at binning
+        # time) -> fast-path eval (full=False).
         for tier, span in enumerate(TIER_SPANS):
             base = tier * ntiles
             col_lo = jnp.maximum(tx - (span - 1), 0)
-            for dy in range(span):
-                row = ty - dy
-                row_ok = row >= 0
-                row_safe = jnp.maximum(row, 0)
-                seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
-                seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
-                seg_lo = jnp.where(row_ok, seg_lo, 0)
-                seg_hi = jnp.where(row_ok, seg_hi, 0)
-                state = scan_range(state, seg_lo, seg_hi)
-        # XL tier: one global segment
+
+            def run_tier(state, base=base, span=span, col_lo=col_lo):
+                for dy in range(span):
+                    row = ty - dy
+                    row_ok = row >= 0
+                    row_safe = jnp.maximum(row, 0)
+                    seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
+                    seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
+                    seg_lo = jnp.where(row_ok, seg_lo, 0)
+                    seg_hi = jnp.where(row_ok, seg_hi, 0)
+                    state = scan_range(state, seg_lo, seg_hi, full=False)
+                return state
+
+            if span == 1:
+                state = run_tier(state)
+            else:
+                # skip the whole tier when it is globally empty (one SMEM
+                # scalar compare beats `span` empty loop setups per tile)
+                tier_n = starts_ref[b, base + ntiles] - starts_ref[b, base]
+                state = jax.lax.cond(
+                    tier_n > 0, run_tier, lambda s: s, state
+                )
+        # XL tier (big + degenerate triangles): one global segment, full math
         n_tiers = len(TIER_SPANS) + 1
         state = scan_range(
             state,
             starts_ref[b, (n_tiers - 1) * ntiles],
             starts_ref[b, n_tiers * ntiles],
+            full=True,
         )
 
         zb, wb = state
         win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
-        win_ref[0, 0, :, :] = win.reshape(TILE, TILE)
+        win_ref[0, 0, :, :] = win.reshape(tile, tile)
 
     return kernel
 
@@ -320,24 +380,27 @@ def _make_kernel(h, w, ntx, nty, perspective, eps):
 )
 def rasterize_winners_pallas(v, tri, h: int, w: int,
                              perspective: bool = False, eps: float = 1e-6):
-    """Winner map [B, H, W] int32 (-1 background). Requires h, w % 8 == 0."""
-    assert h % TILE == 0 and w % TILE == 0, (h, w)
+    """Winner map [B, H, W] int32 (-1 background). Requires h, w % tile == 0
+    (tile = 8 up to 256px, 16 up to 512px, 32 beyond — keeps the segment
+    starts array SMEM-small at any resolution)."""
+    tile = _tile_for(h, w)
+    assert h % tile == 0 and w % tile == 0, (h, w, tile)
     v = lax.stop_gradient(v).astype(jnp.float32)
     tri = jnp.asarray(tri, jnp.int32)
     B = v.shape[0]
-    ntx, nty = w // TILE, h // TILE
+    ntx, nty = w // tile, h // tile
     ntiles = ntx * nty
 
-    dat, starts = build_bins(v, tri, h, w, perspective, eps)
+    dat, starts = build_bins(v, tri, h, w, perspective, eps, tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, ntiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        # TPU blocks need full trailing dims: emit [B, ntiles, 8, 8] and
-        # reassemble the image in JAX (a free relayout)
+        # TPU blocks need full trailing dims: emit [B, ntiles, tile, tile]
+        # and reassemble the image in JAX (a free relayout)
         out_specs=pl.BlockSpec(
-            (1, 1, TILE, TILE), lambda b, t, starts: (b, t, 0, 0)
+            (1, 1, tile, tile), lambda b, t, starts: (b, t, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # double buffer
@@ -345,11 +408,11 @@ def rasterize_winners_pallas(v, tri, h: int, w: int,
         ],
     )
     win = pl.pallas_call(
-        _make_kernel(h, w, ntx, nty, perspective, eps),
-        out_shape=jax.ShapeDtypeStruct((B, ntiles, TILE, TILE), jnp.int32),
+        _make_kernel(h, w, ntx, nty, perspective, eps, tile),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles, tile, tile), jnp.int32),
         grid_spec=grid_spec,
     )(starts, dat)
-    win = win.reshape(B, nty, ntx, TILE, TILE)
+    win = win.reshape(B, nty, ntx, tile, tile)
     win = win.transpose(0, 1, 3, 2, 4).reshape(B, h, w)
     return win
 

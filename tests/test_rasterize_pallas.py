@@ -76,3 +76,43 @@ def test_overflow_diagnostic():
     ovf = np.asarray(rp.bin_overflow(v, tri, 32, 32))
     assert ovf.shape == (1, 3)
     assert (ovf == 0).all()
+
+
+def test_degenerate_routed_to_xl():
+    # degenerate triangles (repeated vertex -> segment; all-same -> point)
+    # must still rasterize: build_bins routes them to the XL tier where the
+    # full fallback math runs. Coverage needs pixel centers EXACTLY on the
+    # segment/point (eps=1e-6), so place them on the h=16 pixel lattice:
+    # py = (1-y)*8-0.5 = 7  <=>  y = 0.0625; px = (1+x)*8-0.5.
+    h = 16
+    y_row = 1.0 - 7.5 / 8.0          # row of pixel centers at py=7
+    x_pt = (12 + 0.5) / 8.0 - 1.0    # px=12
+    y_pt = 1.0 - 3.5 / 8.0           # py=3
+    v = np.asarray(
+        [[[-0.6, -0.6, 0.0], [0.6, -0.6, 0.0], [0.0, 0.6, 0.0],   # normal
+          [-0.5, y_row, 0.5], [0.5, y_row, 0.5],                  # segment
+          [x_pt, y_pt, 0.9]]],                                    # point
+        np.float32,
+    )
+    tri = np.asarray(
+        [[2, 1, 0], [3, 4, 4], [5, 5, 5]], np.int32
+    )
+    dense = np.asarray(rasterize_winners(jnp.asarray(v), jnp.asarray(tri), h, h))
+    pall = np.asarray(
+        rp.rasterize_winners_pallas(jnp.asarray(v), jnp.asarray(tri), h, h)
+    )
+    np.testing.assert_array_equal(dense, pall)
+    covered = set(pall.reshape(-1))
+    assert 1 in covered  # the segment won pixels (in front of triangle 0)
+    assert 2 in covered  # the point won its pixel
+
+
+def test_adaptive_tile_16(monkeypatch):
+    # force the >256px tile size on a small image to exercise that path
+    monkeypatch.setattr(rp, "_tile_for", lambda h, w: 16)
+    rng = np.random.RandomState(2)
+    v = jnp.asarray(rng.randn(2, 40, 3).astype(np.float32) * 0.5)
+    tri = jnp.asarray(rng.randint(0, 40, (120, 3)).astype(np.int32))
+    dense = np.asarray(rasterize_winners(v, tri, 32, 32))
+    pall = np.asarray(rp.rasterize_winners_pallas(v, tri, 32, 32))
+    np.testing.assert_array_equal(dense, pall)
