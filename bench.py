@@ -4,7 +4,17 @@ Measures the BASELINE.md headline config: the full conditioned forward —
 mapping network, rasterized normal-map pyramid, NIM FiLM conditioning, all
 styled convs — at 256x256, bf16 compute, on the real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology (this backend): ``jax.block_until_ready`` does NOT sync
+through the axon tunnel, so we (a) run the timed iterations INSIDE one jitted
+``lax.scan`` (no per-step dispatch round-trips) and (b) close the timing
+region with a host readback of one element (benchmarks/common.py).
+
+Headline number is the reference-exact ``pyramid_mode='each'`` (one rasterize
+per resolution, /root/reference/model.py:260-270); the TPU fast path
+(``'downsample'``: rasterize once at 256, average-pool the pyramid) is
+reported alongside in the same JSON line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target (BASELINE.md): 5000 renders/sec/chip on v5e.
 """
 
@@ -14,20 +24,16 @@ import json
 import time
 
 
-def main():
+def _bench_mode(mode: str, batch: int, n_iters: int) -> float:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
     from stylerenderer_tpu.models import GeneratorWithMap
 
-    size = 256
-    batch = 16
-    latent = 512
-
-    gen = GeneratorWithMap(
-        size, latent, 8, dtype=jnp.bfloat16, pyramid_mode="downsample"
-    )
+    size, latent = 256, 512
+    gen = GeneratorWithMap(size, latent, 8, dtype=jnp.bfloat16, pyramid_mode=mode)
     # production-scale mesh (BFM is ~53k verts / ~105k tris; synthetic stand-in)
     face, tri = synthetic_face(180, 280, shape_dim=80, expression_dim=29)
 
@@ -35,40 +41,49 @@ def main():
     x = face.random_input(rng, batch)
     vert = face(x)
     norm = mesh_point_normal(vert, tri)
-    z = jax.random.normal(jax.random.PRNGKey(1), (batch, latent))
+    z = jax.random.normal(jax.random.PRNGKey(1), (n_iters, batch, latent))
     variables = gen.init(
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
-        [z], (vert, norm, tri),
+        [z[0]], (vert, norm, tri),
     )
     params = variables["params"]
 
     @jax.jit
-    def forward(params, z, vert, norm):
-        img, _, _ = gen.apply(
-            {"params": params}, [z], (vert, norm, tri),
-            rngs={"noise": jax.random.PRNGKey(7)},
-        )
-        return img
+    def forward_many(params, zs, vert, norm):
+        def body(acc, z_i):
+            img, _, _ = gen.apply(
+                {"params": params}, [z_i], (vert, norm, tri),
+                rngs={"noise": jax.random.PRNGKey(7)},
+            )
+            return acc + jnp.sum(img[0, 0, 0]), None
 
-    # warm up / compile
-    out = forward(params, z, vert, norm)
-    jax.block_until_ready(out)
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), zs)
+        return acc
 
-    n_iters = 20
+    def sync(v):
+        return float(np.asarray(v).ravel()[0])  # host readback = real barrier
+
+    sync(forward_many(params, z[:1], vert, norm))  # compile (1-iter scan differs)
+    sync(forward_many(params, z, vert, norm))  # compile the n-iter scan + warm
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(params, z, vert, norm)
-    jax.block_until_ready(out)
+    sync(forward_many(params, z, vert, norm))
     dt = time.perf_counter() - t0
+    return n_iters * batch / dt
 
-    renders_per_sec = n_iters * batch / dt
+
+def main():
+    batch, n_iters = 16, 20
+    each_rps = _bench_mode("each", batch, n_iters)
+    down_rps = _bench_mode("downsample", batch, n_iters)
     print(
         json.dumps(
             {
                 "metric": "gar_256px_renders_per_sec_per_chip",
-                "value": round(renders_per_sec, 2),
+                "value": round(each_rps, 2),
                 "unit": "renders/s",
-                "vs_baseline": round(renders_per_sec / 5000.0, 4),
+                "vs_baseline": round(each_rps / 5000.0, 4),
+                "pyramid_mode": "each (reference-exact)",
+                "downsample_mode_renders_per_sec": round(down_rps, 2),
             }
         )
     )

@@ -1,4 +1,11 @@
-"""300-iteration face-reconstruction inversion wall clock (BASELINE target).
+"""300-iteration face-reconstruction inversion wall clock (BASELINE target:
+< 2 s/face with LPIPS + landmark losses on a full v5e chip).
+
+Measures the full BASELINE metric: pixel + LPIPS(vgg) + 68-landmark losses
+over (w+, 3DMM params, pose), one jitted lax.scan, zero host round-trips.
+The LPIPS backbone is randomly initialized (published weights are not
+available offline — converter in eval/lpips.py); the FLOPs and memory
+traffic are identical to the pretrained net, so the wall clock is the same.
 
 python benchmarks/bench_inversion.py [iters]
 """
@@ -16,6 +23,7 @@ from benchmarks.common import production_face, sync
 
 
 def main(iters: int = 300):
+    from stylerenderer_tpu.eval.lpips import load_lpips
     from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
     from stylerenderer_tpu.models import GeneratorWithMap
 
@@ -28,17 +36,32 @@ def main(iters: int = 300):
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
         [z0], (vert, norm, tri),
     )
-    cfg = ProjectorConfig(iters=iters, w_lpips=0.0)
-    project = jax.jit(make_projector(gen, variables["params"], face, tri, cfg))
-    target = jnp.zeros((1, size, size, 3))
 
-    out = project(jax.random.PRNGKey(3), target)
+    lpips_apply, lpips_params = load_lpips("vgg")
+    lpips_fn = lambda a, b: lpips_apply(lpips_params, a, b)
+    # 68 mesh landmark vertex ids (synthetic stand-in for the BFM landmark
+    # table; cost is identical: a 68-row gather + projection per iter)
+    nv = vert.shape[1]
+    lmk_vidx = jnp.linspace(0, nv - 1, 68).astype(jnp.int32)
+
+    cfg = ProjectorConfig(iters=iters, w_lpips=0.8, w_lmk=1e-3)
+    project = jax.jit(
+        make_projector(gen, variables["params"], face, tri, cfg,
+                       lpips_fn=lpips_fn, lmk_vidx=lmk_vidx)
+    )
+    target = jnp.zeros((1, size, size, 3))
+    target_lmk = jnp.full((1, 68, 2), size / 2.0)
+
+    out = project(jax.random.PRNGKey(3), target, target_lmk)
     sync(out["render"])
     t0 = time.time()
-    out = project(jax.random.PRNGKey(4), target)
+    out = project(jax.random.PRNGKey(4), target, target_lmk)
     sync(out["render"])
     dt = time.time() - t0
-    print(f"{iters}-iter inversion: {dt:.2f} s/face ({dt / iters * 1e3:.1f} ms/iter)")
+    assert np.isfinite(float(out["losses"]["lpips"]))
+    assert np.isfinite(float(out["losses"]["lmk"]))
+    print(f"{iters}-iter inversion (LPIPS+lmk): {dt:.2f} s/face "
+          f"({dt / iters * 1e3:.1f} ms/iter)")
 
 
 if __name__ == "__main__":

@@ -195,7 +195,9 @@ def main(argv=None):
 
                 start_profiler_trace(os.path.join(args.out_dir, "profile"))
             real = next(loader)
-            prev_state = state
+            # per-step NaN protection happens INSIDE the jitted step (the
+            # finite screen discards non-finite updates on-device); the host
+            # guard below only escalates to checkpoint restore.
             state, metrics = step_fn(state, real)
             timer.tick()
             if args.profile_steps and i == start_iter + args.profile_steps:
@@ -205,7 +207,7 @@ def main(argv=None):
                 stop_profiler_trace()
             if i % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                state = guard.check(i, state, m, prev_state)
+                state = guard.check(i, state, m, state)
                 m["imgs_per_sec"] = timer.images_per_sec(cfg.batch)
                 logger.log(i, m)
                 if i % (args.log_every * 10) == 0:

@@ -44,6 +44,24 @@ def load_bfm(file_name="/data/BaselFaceModel.mat"):
     return model, jnp.asarray(tri)
 
 
+def load_bfm_texture(file_name) -> np.ndarray | None:
+    """Per-vertex mean-face texture from a BFM .mat ([nv, 3] in [0, 255]),
+    used by the render-and-detect canonical alignment reference
+    (reference utils_face.py:488,516-518). None if the file ships none."""
+    if isinstance(file_name, str):
+        import scipy.io as sio
+
+        data = sio.loadmat(file_name)
+    else:
+        data = file_name
+    if "tex" not in data:
+        return None
+    tex = np.asarray(data["tex"], np.float32)
+    if tex.shape[0] == 3 and tex.shape[1] != 3:
+        tex = tex.T
+    return tex
+
+
 def load_facewarehouse(file_name="/data/FaceWareHouse.mat"):
     """FaceWarehouse bilinear tensor -> (BlendShapeModel, tri). face_model.py:363-377."""
     if isinstance(file_name, str):

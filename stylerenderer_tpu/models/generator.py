@@ -161,7 +161,13 @@ def make_noise(rng, size: int, batch: int = 1):
 def stored_noise(num_layers: int):
     """Fixed per-layer noise constants — the reference's registered
     noise_%d buffers (model.py:114-119). Deterministic (fixed seeds), so
-    they need no checkpoint storage; XLA folds them into the executable."""
+    they need no checkpoint storage; XLA folds them into the executable.
+
+    NOTE these are *different draws* than any imported reference
+    checkpoint's buffers: to reproduce a ported torch model's
+    ``randomize_noise=False`` outputs bitwise, pass
+    ``utils.torch_import.import_noise(state_dict)`` as ``noise=`` instead
+    of relying on these constants."""
     out = []
     for i in range(num_layers):
         res = 2 ** ((i + 5) // 2)

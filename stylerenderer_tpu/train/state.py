@@ -29,6 +29,10 @@ class TrainState:
     ada_signs: jnp.ndarray  # f32 scalar (accumulated sign(real_pred))
     ada_count: jnp.ndarray  # f32 scalar
     rng: jax.Array
+    # steps whose update was discarded by the in-jit finite screen
+    nonfinite_count: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 def make_optimizers(cfg: TrainConfig):

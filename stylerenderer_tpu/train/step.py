@@ -62,6 +62,45 @@ def _sample_styles(rng, batch, latent_dim, mixing_prob, n_latent):
     return [z1, z2], inject
 
 
+def sample_g_inputs(cfg, gen, face, tri, extra_heads, kg_style, kg_mesh, batch):
+    """Sample the G-step styles + posed mesh with the reference's pairing rules
+    (train.py:294-309):
+
+    - ``feat`` head active: styles are sampled for the FIRST half only and the
+      second half re-uses ``styles[:res]`` (train.py:297-298); the *shape*
+      components of the 3DMM params are likewise copied across halves
+      (train.py:299-300 ``sample_f[half:, :dim0] = sample_f[:res, :dim0]``) so
+      pairs (i, half+i) share identity but get independent expression/pose.
+    - ``lmk`` head active: after posing, interleaved pairs share the FULL
+      posed geometry (train.py:306-308 ``vert[1::2] = vert[:res*2:2]``) —
+      identical rasterized normal pyramids, different styles.
+    """
+    half = (batch + 1) // 2
+    res = batch - half
+    kf, kp = jax.random.split(kg_mesh)
+    if "feat" in extra_heads:
+        styles_g, inject_g = _sample_styles(
+            kg_style, half, cfg.latent, cfg.mixing, gen.n_latent
+        )
+        styles_g = [jnp.concatenate([s, s[:res]], axis=0) for s in styles_g]
+        face_x = face.random_input(kf, batch)
+        dim0 = face.dim[0]
+        face_x = face_x.at[half:, :dim0].set(face_x[:res, :dim0])
+    else:
+        styles_g, inject_g = _sample_styles(
+            kg_style, batch, cfg.latent, cfg.mixing, gen.n_latent
+        )
+        face_x = face.random_input(kf, batch)
+    vert_g = random_apply_pose3D(kp, face(face_x))
+    norm_g = mesh_point_normal(vert_g, tri)
+    if "lmk" in extra_heads:
+        vert_g = vert_g.at[1::2].set(vert_g[: res * 2 : 2])
+        norm_g = norm_g.at[1::2].set(norm_g[: res * 2 : 2])
+    vert_g = jax.lax.stop_gradient(vert_g)
+    norm_g = jax.lax.stop_gradient(norm_g)
+    return styles_g, inject_g, vert_g, norm_g, face_x
+
+
 def make_train_step(
     cfg: TrainConfig,
     gen,
@@ -81,7 +120,6 @@ def make_train_step(
     """
     g_tx, d_tx = make_optimizers(cfg)
     extra_heads = extra_heads or {}
-    paired = ("feat" in extra_heads) or ("lmk" in extra_heads)
     ada_step_size = cfg.ada_target / cfg.ada_length
 
     def train_step(state: TrainState, real_img):
@@ -174,19 +212,9 @@ def make_train_step(
         metrics["r1"] = r1_val
 
         # ---------------- G step (train.py:292-333) ----------------
-        styles_g, inject_g = _sample_styles(
-            kg_style, batch, cfg.latent, cfg.mixing, gen.n_latent
+        styles_g, inject_g, vert_g, norm_g, _ = sample_g_inputs(
+            cfg, gen, face, tri, extra_heads, kg_style, kg_mesh, batch
         )
-        if paired:
-            # geometry-paired half batches: second half re-uses the first
-            # half's style AND shape params so identity/landmark consistency
-            # can be enforced (train.py:294-309)
-            half = (batch + 1) // 2
-            res = batch - half
-            styles_g = [
-                jnp.concatenate([s[:half], s[:res]], axis=0) for s in styles_g
-            ]
-        vert_g, norm_g, face_x = _sample_mesh(face, tri, kg_mesh, batch)
 
         def g_loss_fn(gp):
             fimg, _, norms = gen.apply(
@@ -292,19 +320,38 @@ def make_train_step(
             lambda e, p: e * decay + p * (1.0 - decay), state.g_ema, g_params
         )
 
+        # ---------------- in-jit finite screen (SURVEY.md §5.3) ----------------
+        # If any metric or any updated parameter is non-finite, discard the
+        # whole update on-device (params/opt/EMA keep their previous values) so
+        # a NaN step can never poison the state — no host round-trip needed.
+        # The reference has no such guard (a NaN run trains on garbage).
+        flags = [jnp.isfinite(v) for v in metrics.values()]
+        flags += [
+            jnp.all(jnp.isfinite(l))
+            for l in jax.tree_util.tree_leaves((g_params, d_params))
+        ]
+        finite = jnp.all(jnp.stack([jnp.all(f) for f in flags]))
+
+        def keep(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new, old
+            )
+
         new_state = state.replace(
-            g_params=g_params,
-            d_params=d_params,
-            g_ema=g_ema,
-            g_opt=g_opt,
-            d_opt=d_opt,
-            step=state.step + 1,
-            mean_path_length=mean_path_length,
-            ada_p=ada_p,
-            ada_signs=ada_signs,
-            ada_count=ada_count,
-            rng=kr_next,
+            g_params=keep(g_params, state.g_params),
+            d_params=keep(d_params, state.d_params),
+            g_ema=keep(g_ema, state.g_ema),
+            g_opt=keep(g_opt, state.g_opt),
+            d_opt=keep(d_opt, state.d_opt),
+            step=state.step + finite.astype(jnp.int32),
+            mean_path_length=keep(mean_path_length, state.mean_path_length),
+            ada_p=keep(ada_p, state.ada_p),
+            ada_signs=keep(ada_signs, state.ada_signs),
+            ada_count=keep(ada_count, state.ada_count),
+            rng=kr_next,  # always advance so a dropped step retries new noise
+            nonfinite_count=state.nonfinite_count + (1 - finite.astype(jnp.int32)),
         )
+        metrics["nonfinite_steps"] = new_state.nonfinite_count
         return new_state, metrics
 
     return train_step

@@ -12,7 +12,11 @@ structure) onto our flax trees:
   after the Blur), FusedLeakyReLU bias one index later.
 
 Works with ``{g, d, g_ema, ...}`` checkpoint dicts (train.py:411-420) loaded
-via ``torch.load``. Noise buffers are skipped (we use fixed constants).
+via ``torch.load``. The registered noise buffers ``noises.noise_%d`` are
+imported by ``import_noise`` (exposed as ``g_noise`` / ``g_ema_noise``);
+pass them as ``noise=`` at apply time to reproduce reference
+``randomize_noise=False`` outputs — our own ``stored_noise`` constants are
+different random draws.
 """
 
 from __future__ import annotations
@@ -88,6 +92,22 @@ def _mapping(sd, prefix, n_mlp):
     }
 
 
+def import_noise(sd):
+    """The reference's registered per-layer noise buffers ``noises.noise_%d``
+    (model.py:114-119), torch [1,1,H,W] -> NHWC [1,H,W,1] list ordered by
+    layer. Pass the result as ``noise=`` to Generator.apply so
+    ``randomize_noise=False`` reproduces the reference's outputs bitwise
+    (our ``stored_noise`` constants are different draws). Returns None when
+    the state dict has no noise buffers."""
+    keys = sorted(
+        (k for k in sd if k.startswith("noises.noise_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    if not keys:
+        return None
+    return [np.transpose(_t(sd[k]), (0, 2, 3, 1)) for k in keys]
+
+
 def import_generator(sd, size: int, n_mlp: int = 8, with_map: bool = False):
     """torch Generator / GeneratorWithMap state dict -> flax params tree."""
     log_size = int(math.log2(size))
@@ -134,6 +154,9 @@ def import_checkpoint(path: str, size: int, n_mlp: int = 8,
     for key in ("g", "g_ema"):
         if key in ckpt:
             out[key] = import_generator(ckpt[key], size, n_mlp, with_map)
+            noise = import_noise(ckpt[key])
+            if noise is not None:
+                out[f"{key}_noise"] = noise
     if "d" in ckpt:
         out["d"] = import_discriminator(ckpt["d"], size)
     if "ada_aug_p" in ckpt:

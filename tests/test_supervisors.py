@@ -47,6 +47,64 @@ def test_facenet_embedding():
     np.testing.assert_array_equal(np.asarray(emb), np.asarray(e2))
 
 
+def test_paired_geometry_semantics():
+    """Reference pairing rules (train.py:294-309): with 'lmk' active,
+    interleaved pairs share the FULL posed geometry (identical rendered
+    normal pyramids); with 'feat' active, halves share styles and the
+    shape components of the 3DMM params but not expression/pose."""
+    from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
+    from stylerenderer_tpu.train import make_models
+    from stylerenderer_tpu.train.step import sample_g_inputs
+    from stylerenderer_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(size=16, latent=16, n_mlp=1, channel_multiplier=1, batch=6)
+    face, tri = synthetic_face(6, 12, shape_dim=4, expression_dim=2)
+    gen, _ = make_models(cfg)
+    batch = 6
+    half, res = (batch + 1) // 2, batch - (batch + 1) // 2
+    k1, k2 = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+
+    # --- lmk: vert/norm interleave-paired, styles NOT paired ---
+    styles, _, vert, norm, _ = sample_g_inputs(
+        cfg, gen, face, tri, {"lmk": None}, k1, k2, batch
+    )
+    np.testing.assert_array_equal(np.asarray(vert[1::2]), np.asarray(vert[: res * 2 : 2]))
+    np.testing.assert_array_equal(np.asarray(norm[1::2]), np.asarray(norm[: res * 2 : 2]))
+    assert not np.array_equal(np.asarray(styles[0][0]), np.asarray(styles[0][1]))
+
+    # paired halves render IDENTICAL normal pyramids (the reference's
+    # guarantee that the lmk loss compares same-geometry images)
+    x0 = face.random_input(jax.random.PRNGKey(0), 2)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        [jax.random.normal(jax.random.PRNGKey(3), (2, cfg.latent))],
+        (face(x0), mesh_point_normal(face(x0), tri), tri),
+    )
+    pyramid = gen.apply(
+        {"params": variables["params"]}, (vert, norm, tri), method=gen.normal_pyramid
+    )
+    for m in pyramid:
+        np.testing.assert_array_equal(
+            np.asarray(m[1::2]), np.asarray(m[: res * 2 : 2])
+        )
+
+    # --- feat: styles + shape params paired across halves; geometry differs ---
+    styles, _, vert, _, face_x = sample_g_inputs(
+        cfg, gen, face, tri, {"feat": None}, k1, k2, batch
+    )
+    for s in styles:
+        np.testing.assert_array_equal(np.asarray(s[half:]), np.asarray(s[:res]))
+    dim0 = face.dim[0]
+    np.testing.assert_array_equal(
+        np.asarray(face_x[half:, :dim0]), np.asarray(face_x[:res, :dim0])
+    )
+    # expression params stay independent -> full geometry differs
+    assert not np.array_equal(
+        np.asarray(face_x[half:, dim0:]), np.asarray(face_x[:res, dim0:])
+    )
+    assert not np.array_equal(np.asarray(vert[half:]), np.asarray(vert[:res]))
+
+
 def test_train_step_with_extra_heads():
     from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
     from stylerenderer_tpu.train import init_train_state, make_models, make_train_step

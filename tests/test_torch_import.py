@@ -13,6 +13,7 @@ from stylerenderer_tpu.models import Discriminator, GeneratorWithMap
 from stylerenderer_tpu.utils.torch_import import (
     import_discriminator,
     import_generator,
+    import_noise,
 )
 
 
@@ -88,6 +89,11 @@ def test_generator_roundtrip():
         _to_torch_resblock(sd, f"norm_to_style.{i}",
                            params[f"norm_to_style_{i}"], False)
 
+    # the reference's registered noise buffers (model.py:114-119)
+    for i in range(g.num_layers):
+        res = 2 ** ((i + 5) // 2)
+        sd[f"noises.noise_{i}"] = rng.randn(1, 1, res, res).astype(np.float32)
+
     imported = import_generator(sd, size, n_mlp, with_map=True)
     imported = jax.tree_util.tree_map(jnp.asarray, imported)
 
@@ -96,6 +102,23 @@ def test_generator_roundtrip():
     img_b, _, _ = g.apply({"params": imported}, [z], mesh, noise=noise)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                rtol=1e-5, atol=1e-6)
+
+    # stored-noise import: NCHW buffers -> NHWC list in layer order, and the
+    # generator reproduces itself bitwise when fed the imported buffers
+    imp_noise = import_noise(sd)
+    assert len(imp_noise) == g.num_layers
+    for i, nz in enumerate(imp_noise):
+        res = 2 ** ((i + 5) // 2)
+        assert nz.shape == (1, res, res, 1)
+        np.testing.assert_array_equal(
+            nz[..., 0], sd[f"noises.noise_{i}"][:, 0]
+        )
+    imp_noise = [jnp.asarray(nz) for nz in imp_noise]
+    img_c, _, _ = g.apply({"params": imported}, [z], mesh, noise=imp_noise)
+    img_d, _, _ = g.apply({"params": params}, [z], mesh, noise=imp_noise)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_d),
+                               rtol=1e-5, atol=1e-6)
+    assert import_noise({"conv1.weight": np.zeros(1)}) is None
 
 
 def test_discriminator_roundtrip():
