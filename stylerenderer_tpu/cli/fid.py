@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--bfm", type=str, default="")
     p.add_argument("--inception_weights", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--step", type=int, default=-1,
+                   help="checkpoint step (default: latest)")
     args = p.parse_args(argv)
 
     import functools
@@ -40,7 +42,9 @@ def main(argv=None):
     from stylerenderer_tpu.models import Generator, GeneratorWithMap
     from stylerenderer_tpu.utils.checkpoint import load_params_only
 
-    state, _cfg = load_params_only(args.ckpt)
+    state, _cfg = load_params_only(
+        args.ckpt, step=None if args.step < 0 else args.step
+    )
     params = state.get("g_ema", state.get("g_params"))
     params = jax.tree_util.tree_map(jnp.asarray, params)
 

@@ -397,10 +397,13 @@ class GeneratorWithMap(nn.Module):
                 )
                 maps[s] = cur
             return [maps[s] for s in sizes]
-        return [
-            rasterize(vert, norm, tri, s, s, method=self.rasterize_method)
-            for s in sizes
-        ]
+        # reference-exact per-level rasterization; on TPU the power-of-two
+        # tail of the pyramid comes from ONE multi-level Pallas pass
+        from stylerenderer_tpu.ops.rasterize import rasterize_pyramid
+
+        return rasterize_pyramid(
+            vert, norm, tri, sizes, method=self.rasterize_method
+        )
 
     def synthesize(self, latent, norm_maps, noise=None):
         """Conditioned synthesis from per-layer latents ``[B, n_latent, D]``

@@ -4,6 +4,7 @@ from stylerenderer_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from stylerenderer_tpu.ops.rasterize import (
     rasterize,
     rasterize_index_coeff,
+    rasterize_pyramid,
     rasterize_winners,
     winner_coeff,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "make_kernel",
     "rasterize",
     "rasterize_index_coeff",
+    "rasterize_pyramid",
     "rasterize_winners",
     "scaled_leaky_relu",
     "upfirdn2d",

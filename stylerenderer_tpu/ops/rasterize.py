@@ -400,16 +400,76 @@ def rasterize(v, tex, tri, h: int = 256, w: int = 0, perspective: bool = False,
 
     w = w if w > 0 else h
     win = _dispatch_winners(v, tri, h, w, perspective, eps, method)
-    valid = win >= 0
-    # ONE fused per-pixel gather of vertices + attributes
-    _, pts, gathered = _winner_gather(v, tex_b, tri, win, h, w)
-    coeff = _coeff_from_pts(pts, h, w, perspective, eps)
-    coeff = jnp.where(valid[..., None], coeff, 0.0)
-    out = jnp.sum(
-        gathered * coeff[..., None].astype(gathered.dtype), axis=-2
-    ).astype(tex_b.dtype)
+    out = _interp_from_win(v, tex_b, tri, win, h, w, perspective, eps)
     if scalar_tex:
         out = out[..., 0]
     if squeeze_batch:
         out = out[0]
     return out
+
+
+def _interp_from_win(v, tex_b, tri, win, h, w, perspective, eps):
+    """Differentiable interpolation given a winner map: ONE fused per-pixel
+    gather of vertices + attributes, coefficient recompute (the gradient
+    path), weighted sum."""
+    valid = win >= 0
+    _, pts, gathered = _winner_gather(v, tex_b, tri, win, h, w)
+    coeff = _coeff_from_pts(pts, h, w, perspective, eps)
+    coeff = jnp.where(valid[..., None], coeff, 0.0)
+    return jnp.sum(
+        gathered * coeff[..., None].astype(gathered.dtype), axis=-2
+    ).astype(tex_b.dtype)
+
+
+def rasterize_pyramid(v, tex, tri, sizes, perspective: bool = False,
+                      eps: float = 1e-6, method: str = "auto"):
+    """Rasterize ``tex`` at every resolution in ``sizes`` (the GAR's
+    normal-map pyramid, reference model.py:260-270) — ``[B, s, s, C]`` per
+    size, bit-identical to per-size ``rasterize`` calls.
+
+    On TPU the power-of-two tail of ``sizes`` is produced by ONE multi-level
+    Pallas pass (one triangle sort + one streaming z-buffer pass for the
+    whole pyramid instead of one per level); the remaining small sizes use
+    the dense search. Gradients flow through the per-level coefficient
+    recompute exactly as in ``rasterize``.
+    """
+    v = jnp.asarray(v)
+    tex = jnp.asarray(tex)
+    if v.ndim == 2:
+        v, tex = v[None], tex[None]
+    tex_b = tex[..., None] if tex.ndim == v.ndim - 1 else tex
+    sizes = list(sizes)
+
+    wins = {}
+    use_multi = method in ("auto", "pallas_multi") and _on_tpu()
+    if method == "pallas_multi" and not _on_tpu():
+        use_multi = True  # explicit request (tests run interpret mode on CPU)
+    if use_multi:
+        top = max(sizes)
+        tile = 16 if top <= 256 else 32
+        if top % tile == 0:
+            # levels the one-pass kernel can cover: top >> k with >= 1 px/tile
+            covered = []
+            k = 0
+            while (tile >> k) >= 1 and (top >> k) in sizes:
+                covered.append(top >> k)
+                k += 1
+            if len(covered) > 1:
+                from stylerenderer_tpu.ops.rasterize_pallas import (
+                    rasterize_winners_pallas_multi,
+                )
+
+                outs = rasterize_winners_pallas_multi(
+                    v, tri, top, len(covered), perspective, eps
+                )
+                wins = dict(zip(covered, outs))
+    meth = "auto" if method == "pallas_multi" else method
+    results = []
+    for s in sizes:
+        win = wins.get(s)
+        if win is None:
+            win = _dispatch_winners(v, tri, s, s, perspective, eps, meth)
+        results.append(
+            _interp_from_win(v, tex_b, tri, win, s, s, perspective, eps)
+        )
+    return results

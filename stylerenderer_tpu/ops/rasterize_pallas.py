@@ -136,17 +136,34 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
     return dat, starts
 
 
-def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
+def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
     """Candidate evaluation on [px, 128 tri] blocks; mirrors
     rasterize._eval_candidate (same branches, same clamps).
 
     ``full=False`` compiles out the degenerate segment/point fallback
     (~40% of the VPU ops): build_bins routes every |det| <= eps triangle
     to the XL tier, which is the only range scanned with ``full=True`` —
-    so each candidate still sees math identical to the dense oracle."""
+    so each candidate still sees math identical to the dense oracle.
+
+    Multi-level mode (``inv`` a [P, 1] per-pixel-row level scale 2^-k, with
+    ``h``/``w`` [P, 1] per-row level sizes): triangle coords stored at the
+    TOP level are rescaled per row to that row's pyramid level,
+    ``px_l = (px + 0.5) * 2^-k - 0.5``. Scaling an f32 by a power of two is
+    exact, and rounding of ``a*b`` and ``a*(b/2^k)`` is mantissa-identical —
+    so every level's math is bit-equal to projecting at that level
+    directly (i.e. to the dense oracle at that resolution)."""
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
     z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
+    if inv is not None:
+        half = np.float32(0.5)
+        sh = inv * half - half  # [P, 1]
+        px0 = px0 * inv + sh
+        px1 = px1 * inv + sh
+        px2 = px2 * inv + sh
+        py0 = py0 * inv + sh
+        py1 = py1 * inv + sh
+        py2 = py2 * inv + sh
 
     a0 = px1 * py2 - py1 * px2
     a1 = py0 * px2 - px0 * py2
@@ -396,7 +413,7 @@ def rasterize_winners_pallas(v, tri, h: int, w: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, ntiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         # TPU blocks need full trailing dims: emit [B, ntiles, tile, tile]
         # and reassemble the image in JAX (a free relayout)
         out_specs=pl.BlockSpec(
@@ -422,3 +439,345 @@ def bin_overflow(v, tri, h, w, perspective=False, eps=1e-6):
     static capacities, so overflow is structurally impossible -> zeros."""
     B = jnp.asarray(v).shape[0] if jnp.asarray(v).ndim == 3 else 1
     return jnp.zeros((B, 3), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# multi-level (pyramid) kernel: ONE binning + ONE streaming pass produces the
+# winner maps of EVERY pyramid level (the GAR rasterizes the mesh at 4, 8,
+# ..., size — reference model.py:260-270). Levels share the top level's NDC
+# tile grid; each tile keeps one z-buffer per level stacked on the sublane
+# axis, and each triangle chunk is DMA'd and evaluated against all levels at
+# once. vs per-level calls: 1 sort instead of L, 1/L the DMA ranges, same
+# total VPU work — and each level's winner map stays bit-identical to the
+# dense oracle at that resolution (see _kernel_eval's multi-level note).
+# ---------------------------------------------------------------------------
+
+
+def _multi_level_rows(top: int, n_levels: int, tile: int):
+    """Static per-pixel-row tables for levels top, top/2, ... (n_levels).
+
+    Returns (P_pad, offsets per level, inv [P,1], wl [P,1], hl [P,1],
+    xoff [P,1], yoff [P,1], tl [P,1]) as numpy f32 — row p of a tile handles
+    pixel (xoff, yoff) within that tile at level k(p)."""
+    rows_inv, rows_w, rows_h, rows_x, rows_y, rows_t = [], [], [], [], [], []
+    offsets = []
+    p = 0
+    for k in range(n_levels):
+        tl = tile >> k
+        wl = top >> k
+        offsets.append(p)
+        for i in range(tl * tl):
+            rows_inv.append(1.0 / (1 << k))
+            rows_w.append(wl)
+            rows_h.append(wl)
+            rows_x.append(i % tl)
+            rows_y.append(i // tl)
+            rows_t.append(tl)
+            p += 1
+    P = p
+    P_pad = -(-P // 8) * 8
+    for _ in range(P_pad - P):  # dead rows: never covered, sliced away
+        rows_inv.append(1.0)
+        rows_w.append(-1.0)  # w-1 = -2 -> bbox clamp kills coverage
+        rows_h.append(-1.0)
+        rows_x.append(0.0)
+        rows_y.append(0.0)
+        rows_t.append(0.0)
+
+    def col(a):
+        return np.asarray(a, np.float32).reshape(P_pad, 1)
+
+    return (P_pad, offsets, col(rows_inv), col(rows_w), col(rows_h),
+            col(rows_x), col(rows_y), col(rows_t))
+
+
+MULTI_TIER_SPANS = (1, 2)  # spans > 2 go to XL: rare on face meshes, and
+# each extra tier costs span x span mostly-empty range scans per tile
+
+
+def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
+                     eps: float, tile: int, spans=MULTI_TIER_SPANS):
+    """Binning for the multi-level kernel -> (dat, starts), same layout as
+    ``build_bins`` but valid for EVERY pyramid level:
+
+    - a level-k pixel center lies at top-coords ``(x_l+0.5)*2^k - 0.5``, up
+      to ``2^{kmax-1}-0.5`` top-pixels right/below its tile's top-level
+      pixel range — so the binning bbox extends LEFT/UP by that pad;
+    - validity is the union over levels (a sliver can miss every top-level
+      pixel center yet hit a coarse one);
+    - degenerate routing to the XL (full-math) tier uses the COARSEST
+      level's det scale (det shrinks by 4^k), so hot tiers stay free of
+      any triangle that is degenerate at ANY level.
+    """
+    nf = tri.shape[0]
+    assert nf < _BIG_ID, "triangle ids are carried in f32"
+    ntx = nty = top // tile
+    ntiles = ntx * nty
+    kmax = n_levels - 1
+    pad = 0.5 * (1 << kmax) - 0.5  # max pixel-center shift across levels
+    det_scale = float(4 ** kmax)
+
+    def per_batch(vb):
+        px, py, z, persp_ok, _x0, _y0, _valid, _span = _setup(
+            vb, tri, top, top, perspective, eps
+        )
+        umin = jnp.min(px, -1)
+        umax = jnp.max(px, -1)
+        vmin = jnp.min(py, -1)
+        vmax = jnp.max(py, -1)
+
+        # union-over-levels validity: bbox_ok at ANY level
+        bbox_any = jnp.zeros(umin.shape, bool)
+        for k in range(n_levels):
+            inv = 1.0 / (1 << k)
+            wl = top >> k
+            u0 = (umin + 0.5) * inv - 0.5
+            u1 = (umax + 0.5) * inv - 0.5
+            v0 = (vmin + 0.5) * inv - 0.5
+            v1 = (vmax + 0.5) * inv - 0.5
+            ok = (
+                (jnp.minimum(jnp.floor(u1), wl - 1.0)
+                 >= jnp.maximum(jnp.ceil(u0), 0.0))
+                & (jnp.minimum(jnp.floor(v1), wl - 1.0)
+                   >= jnp.maximum(jnp.ceil(v0), 0.0))
+            )
+            bbox_any = bbox_any | ok
+        nv = vb.shape[0]
+        idx_ok = jnp.all((tri >= 0) & (tri < nv), axis=-1)
+
+        px0, px1_, px2 = px[:, 0], px[:, 1], px[:, 2]
+        py0_, py1_, py2_ = py[:, 0], py[:, 1], py[:, 2]
+        a0 = px1_ * py2_ - py1_ * px2
+        a1 = py0_ * px2 - px0 * py2_
+        a2 = px0 * py1_ - py0_ * px1_
+        det = a0 + a1 + a2
+        # front at ANY level: det * 4^-k <= eps for some k <= kmax
+        front_any = det <= eps * det_scale
+        valid = idx_ok & persp_ok & bbox_any & front_any
+
+        # conservative tile bbox: pad left/up by the max pixel-center shift
+        x0 = jnp.maximum(jnp.floor(umin - pad), 0.0).astype(jnp.int32)
+        x1 = jnp.minimum(jnp.floor(umax), top - 1.0).astype(jnp.int32)
+        y0 = jnp.maximum(jnp.floor(vmin - pad), 0.0).astype(jnp.int32)
+        y1 = jnp.minimum(jnp.floor(vmax), top - 1.0).astype(jnp.int32)
+        x1 = jnp.maximum(x1, x0)  # keep spans sane for off-screen tris
+        y1 = jnp.maximum(y1, y0)
+        tx0, tx1 = x0 // tile, x1 // tile
+        ty0, ty1 = y0 // tile, y1 // tile
+        ts = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
+
+        n_tiers = len(spans) + 1
+        tier = jnp.full(ts.shape, len(spans), jnp.int32)
+        for k in range(len(spans) - 1, -1, -1):
+            tier = jnp.where(ts <= spans[k], k, tier)
+        # degenerate AT ANY LEVEL -> XL tier (full math there)
+        sgn = jnp.where(det < 0, -1.0, 1.0)
+        tier = jnp.where(det * sgn <= eps * det_scale, len(spans), tier)
+        home = ty0 * ntx + tx0
+        key = jnp.where(valid, tier * ntiles + home, n_tiers * ntiles)
+
+        ids = jnp.arange(nf, dtype=jnp.int32)
+        ops = lax.sort(
+            (key.astype(jnp.int32),
+             px[:, 0], px[:, 1], px[:, 2],
+             py[:, 0], py[:, 1], py[:, 2],
+             z[:, 0], z[:, 1], z[:, 2], ids),
+            num_keys=1,
+        )
+        key_sorted = ops[0]
+        starts = jnp.searchsorted(
+            key_sorted, jnp.arange(n_tiers * ntiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        zero = jnp.zeros((nf,), jnp.float32)
+        full = jnp.stack(
+            list(ops[1:10]) + [ops[10].astype(jnp.float32)] + [zero] * 6,
+            axis=0,
+        )
+        return full, starts
+
+    dat, starts = jax.vmap(per_batch)(v)
+    padn = (-nf) % CHUNK + CHUNK
+    dat = jnp.pad(dat, ((0, 0), (0, 0), (0, padn)))
+    return dat, starts
+
+
+def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
+                       spans=MULTI_TIER_SPANS):
+    ntiles = ntx * nty
+    P_pad, _offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
+        _multi_level_rows(top, n_levels, tile)
+    )
+
+    def kernel(starts_ref, rows_ref, dat_ref, win_ref, scr_ref, sem):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        ty = t // ntx
+        tx = t % ntx
+        rows = rows_ref[...]  # [P_pad, 8] static per-row tables
+        inv = rows[:, 0:1]
+        wl = rows[:, 1:2]
+        hl = rows[:, 2:3]
+        tl = rows[:, 5:6]
+        txf = jnp.full((P_pad, 1), tx, jnp.float32)
+        tyf = jnp.full((P_pad, 1), ty, jnp.float32)
+        Xf = txf * tl + rows[:, 3:4]  # level-k pixel x of this tile's row p
+        Yf = tyf * tl + rows[:, 4:5]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def scan_range(state, start, end, full):
+            c0 = start // CHUNK
+            nchunks = jnp.where(
+                end > start, (end - c0 * CHUNK + CHUNK - 1) // CHUNK, 0
+            )
+
+            def dma(c, slot):
+                off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
+                return pltpu.make_async_copy(
+                    dat_ref.at[b, :, pl.ds(off, CHUNK)],
+                    scr_ref.at[slot], sem.at[slot],
+                )
+
+            @pl.when(nchunks > 0)
+            def _():
+                dma(0, 0).start()
+
+            def body(c, st):
+                zb, wb = st
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    dma(c + 1, 1 - slot).start()
+
+                dma(c, slot).wait()
+                scr = scr_ref[slot]
+                off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
+                depth, cov = _kernel_eval(scr, Xf, Yf, hl, wl, perspective,
+                                          eps, full, inv=inv)
+                pos = off + lane
+                cov = cov & (pos >= start) & (pos < end)
+                ids = scr[9:10, :]
+                zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
+                zc = jnp.max(zm, axis=1, keepdims=True)
+                idc = jnp.min(
+                    jnp.where(cov & (zm == zc), ids, _BIG_ID),
+                    axis=1, keepdims=True,
+                )
+                better = zc > zb
+                equal = zc == zb
+                wb = jnp.where(
+                    better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb)
+                )
+                zb = jnp.maximum(zb, zc)
+                return zb, wb
+
+            return jax.lax.fori_loop(0, nchunks, body, state)
+
+        state = (
+            jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
+            jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
+        )
+        for tier, span in enumerate(spans):
+            base = tier * ntiles
+            col_lo = jnp.maximum(tx - (span - 1), 0)
+
+            def run_tier(state, base=base, span=span, col_lo=col_lo):
+                for dy in range(span):
+                    row = ty - dy
+                    row_ok = row >= 0
+                    row_safe = jnp.maximum(row, 0)
+                    seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
+                    seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
+                    seg_lo = jnp.where(row_ok, seg_lo, 0)
+                    seg_hi = jnp.where(row_ok, seg_hi, 0)
+                    state = scan_range(state, seg_lo, seg_hi, full=False)
+                return state
+
+            if span == 1:
+                state = run_tier(state)
+            else:
+                tier_n = starts_ref[b, base + ntiles] - starts_ref[b, base]
+                state = jax.lax.cond(tier_n > 0, run_tier, lambda s: s, state)
+        n_tiers = len(spans) + 1
+        state = scan_range(
+            state,
+            starts_ref[b, (n_tiers - 1) * ntiles],
+            starts_ref[b, n_tiers * ntiles],
+            full=True,
+        )
+        zb, wb = state
+        win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
+        win_ref[0, 0, :, :] = win
+
+    return kernel, P_pad
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top", "n_levels", "perspective", "eps",
+                              "interpret")
+)
+def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
+                                   perspective: bool = False,
+                                   eps: float = 1e-6,
+                                   interpret: bool = False):
+    """Winner maps for the whole pyramid in one kernel pass.
+
+    Returns a list of ``n_levels`` winner maps ``[B, top>>k, top>>k]`` int32
+    (-1 background), k = 0..n_levels-1 — each bit-identical to
+    ``rasterize_winners`` (the dense oracle) at that resolution.
+
+    Constraints: ``top`` a multiple of 16; levels down to the tile edge
+    (``top >> (n_levels-1) >= top // tile`` pixels per tile >= 1).
+    """
+    tile = 16 if top <= 256 else 32
+    assert top % tile == 0, (top, tile)
+    assert (tile >> (n_levels - 1)) >= 1, "coarsest level under 1 px/tile"
+    v = lax.stop_gradient(v).astype(jnp.float32)
+    tri = jnp.asarray(tri, jnp.int32)
+    B = v.shape[0]
+    ntx = nty = top // tile
+    ntiles = ntx * nty
+
+    dat, starts = build_bins_multi(v, tri, top, n_levels, perspective, eps,
+                                   tile)
+    kernel, P_pad = _make_kernel_multi(top, n_levels, ntx, nty, perspective,
+                                       eps, tile)
+    _, offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
+        _multi_level_rows(top, n_levels, tile)
+    )
+    rows = jnp.asarray(
+        np.concatenate([inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np,
+                        np.zeros((P_pad, 2), np.float32)], axis=1)
+    )  # [P_pad, 8]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec((P_pad, 8), lambda b, t, starts: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, P_pad, 1), lambda b, t, starts: (b, t, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    win = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, ntiles, P_pad, 1), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, rows, dat)
+    win = win[..., 0]  # [B, ntiles, P_pad]
+    outs = []
+    for k in range(n_levels):
+        tl = tile >> k
+        sl = top >> k
+        w_k = win[:, :, offsets[k]:offsets[k] + tl * tl]
+        w_k = w_k.reshape(B, nty, ntx, tl, tl)
+        w_k = w_k.transpose(0, 1, 3, 2, 4).reshape(B, sl, sl)
+        outs.append(w_k)
+    return outs

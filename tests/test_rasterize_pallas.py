@@ -116,3 +116,67 @@ def test_adaptive_tile_16(monkeypatch):
     dense = np.asarray(rasterize_winners(v, tri, 32, 32))
     pall = np.asarray(rp.rasterize_winners_pallas(v, tri, 32, 32))
     np.testing.assert_array_equal(dense, pall)
+
+
+@pytest.mark.parametrize("perspective", [False, True])
+def test_multi_level_matches_dense(perspective):
+    """One multi-level pass == the dense oracle at EVERY pyramid level."""
+    rng = np.random.RandomState(3)
+    nv, nf, B, top = 50, 160, 2, 32
+    v = rng.randn(B, nv, 3).astype(np.float32) * 0.6
+    if perspective:
+        v[:, :, 2] -= 3.0
+    tri = rng.randint(0, nv, (nf, 3)).astype(np.int32)
+    outs = rp.rasterize_winners_pallas_multi(
+        jnp.asarray(v), jnp.asarray(tri), top, 5, perspective
+    )
+    assert len(outs) == 5
+    for k, win in enumerate(outs):
+        s = top >> k
+        dense = np.asarray(
+            rasterize_winners(jnp.asarray(v), jnp.asarray(tri), s, s,
+                              perspective)
+        )
+        np.testing.assert_array_equal(dense, np.asarray(win), err_msg=f"level {s}")
+
+
+def test_multi_level_sphere_pyramid():
+    from stylerenderer_tpu.face3d import synthetic_face
+
+    face, tri = synthetic_face(16, 32, 6, 3)
+    v = face(face.random_input(jax.random.PRNGKey(5), 2))
+    outs = rp.rasterize_winners_pallas_multi(v, tri, 32, 4)
+    for k, win in enumerate(outs):
+        s = 32 >> k
+        dense = np.asarray(rasterize_winners(v, tri, s, s))
+        np.testing.assert_array_equal(dense, np.asarray(win), err_msg=f"level {s}")
+    assert (np.asarray(outs[0]) >= 0).mean() > 0.2
+
+
+def test_rasterize_pyramid_matches_per_level():
+    """rasterize_pyramid (one multi-level pass) == per-size rasterize, values
+    AND gradients (the generator's normal-map pyramid contract)."""
+    from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
+    from stylerenderer_tpu.ops.rasterize import rasterize, rasterize_pyramid
+
+    face, tri = synthetic_face(12, 24, 4, 2)
+    v = face(face.random_input(jax.random.PRNGKey(7), 2))
+    n = mesh_point_normal(v, tri)
+    sizes = [4, 8, 16, 32]
+    pyr = rasterize_pyramid(v, n, tri, sizes, method="pallas_multi")
+    for s, m in zip(sizes, pyr):
+        ref = rasterize(v, n, tri, s, s)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(m),
+                                      err_msg=f"size {s}")
+
+    def loss_pyr(v_, n_):
+        return sum(jnp.sum(m ** 2) for m in
+                   rasterize_pyramid(v_, n_, tri, sizes, method="pallas_multi"))
+
+    def loss_ref(v_, n_):
+        return sum(jnp.sum(rasterize(v_, n_, tri, s, s) ** 2) for s in sizes)
+
+    gv_a, gn_a = jax.grad(loss_pyr, argnums=(0, 1))(v, n)
+    gv_b, gn_b = jax.grad(loss_ref, argnums=(0, 1))(v, n)
+    np.testing.assert_allclose(np.asarray(gv_a), np.asarray(gv_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gn_a), np.asarray(gn_b), rtol=1e-6)
