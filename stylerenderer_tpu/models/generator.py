@@ -309,6 +309,14 @@ class GeneratorWithMap(nn.Module):
     ``pyramid_mode``: ``'each'`` rasterizes per level (reference-exact);
     ``'downsample'`` rasterizes once at full resolution and average-pools the
     pyramid — ~6x fewer rasterizer calls, a TPU-first fast path.
+
+    ``fused_pyramid``: interpolate normals inside the Pallas winner kernel
+    (no forward per-pixel gathers; values match to f32 rounding). Still
+    differentiable — a custom VJP recomputes the interpolation-only mesh
+    gradients from the winner maps on the backward pass, so inversion
+    (which optimizes the mesh) works unchanged while forward-only use
+    (training samples meshes under no_grad, train.py:248-251; generation;
+    eval) never pays the gather cost.
     """
 
     size: int
@@ -321,6 +329,7 @@ class GeneratorWithMap(nn.Module):
     dtype: Any = jnp.float32
     pyramid_mode: str = "each"
     rasterize_method: str = "auto"
+    fused_pyramid: bool = True
     remat: bool = False  # rematerialize styled convs (memory for 1024px)
 
     @property
@@ -385,10 +394,20 @@ class GeneratorWithMap(nn.Module):
         vert, norm, tri = mesh
         sizes = [4] + [2**i for i in range(3, self.log_size + 1)]
         if self.pyramid_mode == "downsample":
-            top = rasterize(
-                vert, norm, tri, self.size, self.size,
-                method=self.rasterize_method,
-            )
+            if self.fused_pyramid:
+                from stylerenderer_tpu.ops.rasterize import (
+                    rasterize_pyramid_fused,
+                )
+
+                top = rasterize_pyramid_fused(
+                    vert, norm, tri, [self.size],
+                    method=self.rasterize_method,
+                )[0]
+            else:
+                top = rasterize(
+                    vert, norm, tri, self.size, self.size,
+                    method=self.rasterize_method,
+                )
             maps = {self.size: top}
             cur = top
             for s in reversed(sizes[:-1]):
@@ -399,11 +418,12 @@ class GeneratorWithMap(nn.Module):
             return [maps[s] for s in sizes]
         # reference-exact per-level rasterization; on TPU the power-of-two
         # tail of the pyramid comes from ONE multi-level Pallas pass
-        from stylerenderer_tpu.ops.rasterize import rasterize_pyramid
-
-        return rasterize_pyramid(
-            vert, norm, tri, sizes, method=self.rasterize_method
+        from stylerenderer_tpu.ops.rasterize import (
+            rasterize_pyramid, rasterize_pyramid_fused,
         )
+
+        fn = rasterize_pyramid_fused if self.fused_pyramid else rasterize_pyramid
+        return fn(vert, norm, tri, sizes, method=self.rasterize_method)
 
     def synthesize(self, latent, norm_maps, noise=None):
         """Conditioned synthesis from per-layer latents ``[B, n_latent, D]``

@@ -421,6 +421,114 @@ def _interp_from_win(v, tex_b, tri, win, h, w, perspective, eps):
     ).astype(tex_b.dtype)
 
 
+def _make_fused_levels(tri, top: int, covered, perspective: bool, eps: float):
+    """Build the custom-VJP fused pyramid op for the ``covered`` level list.
+
+    Forward: ONE multi-level Pallas pass interpolates the winning triangle's
+    attributes in-register (no per-pixel gathers) and also emits the winner
+    maps. Backward: the standard differentiable coefficient-recompute
+    (``_interp_from_win``) VJP per level, seeded with the saved winner maps
+    — so gradients are exactly ``rasterize_pyramid``'s interpolation-only
+    gradients, while forward-only callers never pay the gather cost.
+    (First-order only, like any custom_vjp; the training step never
+    differentiates through the pyramid — path-length reg treats the norm
+    maps as leaves, reference train.py:340-345.)
+    """
+    from stylerenderer_tpu.ops.rasterize_pallas import (
+        rasterize_winners_pallas_multi,
+    )
+    n_levels = len(covered)
+
+    def run_kernel(v, tex_b):
+        return rasterize_winners_pallas_multi(
+            v, tri, top, n_levels, perspective, eps,
+            attrs=tex_b.astype(jnp.float32),
+        )
+
+    @jax.custom_vjp
+    def fused(v, tex_b):
+        return [va.astype(tex_b.dtype) for va, _ in run_kernel(v, tex_b)]
+
+    def fwd(v, tex_b):
+        outs = run_kernel(v, tex_b)
+        return (
+            [va.astype(tex_b.dtype) for va, _ in outs],
+            (v, tex_b, [w for _, w in outs]),
+        )
+
+    def bwd(res, cts):
+        v, tex_b, wins = res
+        gv = jnp.zeros_like(v)
+        gt = jnp.zeros_like(tex_b)
+        for win, ct, s in zip(wins, cts, covered):
+            _, vjp_fn = jax.vjp(
+                lambda vv, tt: _interp_from_win(
+                    vv, tt, tri, win, s, s, perspective, eps
+                ),
+                v, tex_b,
+            )
+            dv, dt = vjp_fn(ct)
+            gv = gv + dv
+            gt = gt + dt
+        return gv, gt
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def rasterize_pyramid_fused(v, tex, tri, sizes, perspective: bool = False,
+                            eps: float = 1e-6, method: str = "auto"):
+    """``rasterize_pyramid`` with fused in-kernel attribute interpolation:
+    on TPU the Pallas pass emits the finished value maps directly, skipping
+    the per-pixel gather + coefficient recompute that dominates the forward
+    cost at production mesh sizes. Winner selection is bit-identical to the
+    dense oracle; values match ``rasterize_pyramid`` to f32 rounding (~1e-5:
+    sub-top levels evaluate coefficients on power-of-two-rescaled
+    coordinates, which rounds products differently).
+
+    Differentiable: a custom VJP recomputes the interpolation-only gradients
+    from the winner maps on the backward pass, identical to
+    ``rasterize_pyramid``'s gradients (first order; the train step never
+    needs second-order through the pyramid).
+    """
+    v = jnp.asarray(v)
+    tex = jnp.asarray(tex)
+    if v.ndim == 2:
+        v, tex = v[None], tex[None]
+    scalar_tex = tex.ndim == v.ndim - 1
+    tex_b = tex[..., None] if scalar_tex else tex
+    sizes = list(sizes)
+
+    maps = {}
+    use_multi = (
+        tex_b.shape[-1] <= 7
+        and (method in ("auto", "pallas_multi"))
+        and (_on_tpu() or method == "pallas_multi")
+    )
+    if use_multi:
+        top = max(sizes)
+        tile = 16 if top <= 256 else 32
+        if top % tile == 0:
+            covered = []
+            k = 0
+            while (tile >> k) >= 1 and (top >> k) in sizes:
+                covered.append(top >> k)
+                k += 1
+            if len(covered) > 1 or (len(covered) == 1 and covered[0] == top):
+                fused = _make_fused_levels(tri, top, covered, perspective, eps)
+                maps = dict(zip(covered, fused(v, tex_b)))
+    meth = "auto" if method == "pallas_multi" else method
+    results = []
+    for s in sizes:
+        m = maps.get(s)
+        if m is None:
+            win = _dispatch_winners(v, tri, s, s, perspective, eps, meth)
+            m = _interp_from_win(v, tex_b, tri, win, s, s, perspective, eps)
+        m = m.astype(tex_b.dtype)
+        results.append(m[..., 0] if scalar_tex else m)
+    return results
+
+
 def rasterize_pyramid(v, tex, tri, sizes, perspective: bool = False,
                       eps: float = 1e-6, method: str = "auto"):
     """Rasterize ``tex`` at every resolution in ``sizes`` (the GAR's

@@ -48,6 +48,13 @@ CHUNK = 128
 _BIG_ID = np.float32(2**24)  # ids stored in f32; nf must stay below this
 _NEG_INF = np.float32(-3.0e38)
 
+def _dat_rows(n_attr: int) -> int:
+    """Sublane count of the per-triangle data block: 10 fixed rows (px*3,
+    py*3, z*3, id) + 3*n_attr per-corner attribute rows, padded to a
+    multiple of 8 (min 16, the original fixed layout)."""
+    return max(16, -(-(10 + 3 * n_attr) // 8) * 8)
+
+
 # tier tile-span limits; a tile scans homes in a (span x span) neighborhood.
 # tier 0 (single-tile triangles — the vast majority of a dense face mesh)
 # costs exactly one home segment per tile.
@@ -136,9 +143,14 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
     return dat, starts
 
 
-def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
+def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None,
+                 want_coeff=False):
     """Candidate evaluation on [px, 128 tri] blocks; mirrors
     rasterize._eval_candidate (same branches, same clamps).
+
+    ``want_coeff=True`` additionally returns the interpolation coefficients
+    (perspective-corrected exactly like ``_eval_candidate``) for the fused
+    attribute-interpolation mode.
 
     ``full=False`` compiles out the degenerate segment/point fallback
     (~40% of the VPU ops): build_bins routes every |det| <= eps triangle
@@ -205,7 +217,8 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
         # degenerate triangles were routed away at binning time
         co0, co1, co2 = cn0, cn1, cn2
         cov = front & bbox_ok & in_bbox & raw_ok & nondeg
-        return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
+        return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
+                             eps, want_coeff)
 
     l0 = b0 * b0 + c0 * c0
     l1 = b1 * b1 + c1 * c1
@@ -261,10 +274,12 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
     co1 = jnp.where(nondeg, cn1, d1c)
     co2 = jnp.where(nondeg, cn2, d2c)
     cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
-    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
+    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps,
+                         want_coeff)
 
 
-def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
+def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps,
+                  want_coeff=False):
     if perspective:
         # vertices with z >= -eps were pre-culled in _setup (persp_ok)
         z0s = jnp.where(z0 < -eps, z0, -1.0)
@@ -273,8 +288,13 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
         q0, q1, q2 = co0 / z0s, co1 / z1s, co2 / z2s
         depth = q0 + q1 + q2
         cov = cov & (depth < -eps)
+        if want_coeff:
+            # perspective-correct interpolation (rasterize.h:132-140)
+            return depth, cov, q0 * depth, q1 * depth, q2 * depth
     else:
         depth = co0 * z0 + co1 * z1 + co2 * z2
+        if want_coeff:
+            return depth, cov, co0, co1, co2
     return depth, cov
 
 
@@ -494,15 +514,36 @@ def _multi_level_rows(top: int, n_levels: int, tile: int):
 MULTI_TIER_SPANS = (1, 2)  # spans > 2 go to XL: rare on face meshes, and
 # each extra tier costs span x span mostly-empty range scans per tile
 
+# multi-kernel tier table: (key offset, span, full candidate math?).
+# Degenerate triangles need the segment/point fallback (full math) but are
+# usually SMALL (mesh pole slivers) — giving them their own span-1/span-2
+# tiers keeps them out of the XL segment, which every tile scans globally
+# (measured: ~560 degenerate pole triangles on the synthetic face put ~60%
+# of all chunk evaluations into XL).
+MULTI_TIERS = (
+    (0, 1, False),  # fast span-1 (vast majority)
+    (1, 2, False),  # fast span-2
+    (2, 1, True),   # degenerate span-1
+    (3, 2, True),   # degenerate span-2
+)
+MULTI_N_TIERS = len(MULTI_TIERS) + 1  # + XL (global, full math)
+
 
 def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
-                     eps: float, tile: int, spans=MULTI_TIER_SPANS):
+                     eps: float, tile: int, attrs=None):
     """Binning for the multi-level kernel -> (dat, starts), same layout as
     ``build_bins`` but valid for EVERY pyramid level:
 
-    - a level-k pixel center lies at top-coords ``(x_l+0.5)*2^k - 0.5``, up
-      to ``2^{kmax-1}-0.5`` top-pixels right/below its tile's top-level
-      pixel range — so the binning bbox extends LEFT/UP by that pad;
+    - NO bbox pad is needed for coarse levels: a level-k pixel owned by tile
+      (tx, ty) has its center at top-coords ``(x_l+0.5)*2^k - 0.5`` which
+      always lies INSIDE that tile's top-level pixel range (centers step
+      ``2^k`` starting at ``2^{k-1}-0.5 < tile``), and the kernel's
+      per-level bbox clamp (``x_l >= ceil(umin_l)`` <=> center >= umin)
+      only covers pixels whose center is inside the float bbox — so a
+      triangle can only cover pixels of tiles its unpadded top-level bbox
+      intersects, exactly as in the single-level scheme. (An earlier
+      revision padded left/up by ``2^{kmax-1}-0.5`` px, which pushed most
+      1-2 px triangles into tier 1 and ~3x'd the candidate reads.)
     - validity is the union over levels (a sliver can miss every top-level
       pixel center yet hit a coarse one);
     - degenerate routing to the XL (full-math) tier uses the COARSEST
@@ -514,10 +555,11 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
     ntx = nty = top // tile
     ntiles = ntx * nty
     kmax = n_levels - 1
-    pad = 0.5 * (1 << kmax) - 0.5  # max pixel-center shift across levels
     det_scale = float(4 ** kmax)
+    n_attr = 0 if attrs is None else attrs.shape[-1]
+    n_rows = _dat_rows(n_attr)
 
-    def per_batch(vb):
+    def per_batch(vb, ab):
         px, py, z, persp_ok, _x0, _y0, _valid, _span = _setup(
             vb, tri, top, top, perspective, eps
         )
@@ -555,10 +597,11 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         front_any = det <= eps * det_scale
         valid = idx_ok & persp_ok & bbox_any & front_any
 
-        # conservative tile bbox: pad left/up by the max pixel-center shift
-        x0 = jnp.maximum(jnp.floor(umin - pad), 0.0).astype(jnp.int32)
+        # float-bbox tile extent (floor, not ceil: tile intersection, which
+        # is what coarse-level coverage requires — see docstring)
+        x0 = jnp.maximum(jnp.floor(umin), 0.0).astype(jnp.int32)
         x1 = jnp.minimum(jnp.floor(umax), top - 1.0).astype(jnp.int32)
-        y0 = jnp.maximum(jnp.floor(vmin - pad), 0.0).astype(jnp.int32)
+        y0 = jnp.maximum(jnp.floor(vmin), 0.0).astype(jnp.int32)
         y1 = jnp.minimum(jnp.floor(vmax), top - 1.0).astype(jnp.int32)
         x1 = jnp.maximum(x1, x0)  # keep spans sane for off-screen tris
         y1 = jnp.maximum(y1, y0)
@@ -566,13 +609,16 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         ty0, ty1 = y0 // tile, y1 // tile
         ts = jnp.maximum(tx1 - tx0, ty1 - ty0) + 1
 
-        n_tiers = len(spans) + 1
-        tier = jnp.full(ts.shape, len(spans), jnp.int32)
-        for k in range(len(spans) - 1, -1, -1):
-            tier = jnp.where(ts <= spans[k], k, tier)
-        # degenerate AT ANY LEVEL -> XL tier (full math there)
+        n_tiers = MULTI_N_TIERS
+        xl = n_tiers - 1
+        # fast tiers by tile span; degenerate AT ANY LEVEL (det shrinks by
+        # 4^k) needs the segment/point fallback -> the full-math small
+        # tiers (2, 3) or XL if also big
         sgn = jnp.where(det < 0, -1.0, 1.0)
-        tier = jnp.where(det * sgn <= eps * det_scale, len(spans), tier)
+        deg = det * sgn <= eps * det_scale
+        tier = jnp.where(ts <= 1, 0, jnp.where(ts <= 2, 1, xl))
+        tier_deg = jnp.where(ts <= 1, 2, jnp.where(ts <= 2, 3, xl))
+        tier = jnp.where(deg, tier_deg, tier)
         home = ty0 * ntx + tx0
         key = jnp.where(valid, tier * ntiles + home, n_tiers * ntiles)
 
@@ -588,21 +634,34 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         starts = jnp.searchsorted(
             key_sorted, jnp.arange(n_tiers * ntiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
+        ids_sorted = ops[10]
+        rows = list(ops[1:10]) + [ids_sorted.astype(jnp.float32)]
+        if n_attr:
+            # fused-interp mode: per-corner attribute values, gathered AFTER
+            # the sort via the sorted ids (9 extra sort operands would cost
+            # more than one [nf,3,C] gather)
+            cidx = jnp.clip(tri, 0, vb.shape[0] - 1)[ids_sorted]  # [nf, 3]
+            av = ab[cidx.reshape(-1)].reshape(nf, 3, n_attr)  # [nf, 3, C]
+            rows += [av[:, k, c] for k in range(3) for c in range(n_attr)]
         zero = jnp.zeros((nf,), jnp.float32)
-        full = jnp.stack(
-            list(ops[1:10]) + [ops[10].astype(jnp.float32)] + [zero] * 6,
-            axis=0,
-        )
-        return full, starts
+        rows += [zero] * (n_rows - len(rows))
+        return jnp.stack(rows, axis=0), starts
 
-    dat, starts = jax.vmap(per_batch)(v)
+    if attrs is None:
+        dat, starts = jax.vmap(lambda vb: per_batch(vb, None))(v)
+    else:
+        dat, starts = jax.vmap(per_batch)(v, attrs.astype(jnp.float32))
     padn = (-nf) % CHUNK + CHUNK
     dat = jnp.pad(dat, ((0, 0), (0, 0), (0, padn)))
     return dat, starts
 
 
 def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
-                       spans=MULTI_TIER_SPANS):
+                       n_attr=0):
+    """n_attr=0: winner-id kernel. n_attr=C: fused-interpolation kernel —
+    the scan state carries the winner's interpolated attribute values and
+    the output is the finished [P, C] value block (no winner ids, no
+    per-pixel gathers afterwards)."""
     ntiles = ntx * nty
     P_pad, _offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
         _multi_level_rows(top, n_levels, tile)
@@ -642,7 +701,7 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 dma(0, 0).start()
 
             def body(c, st):
-                zb, wb = st
+                zb, wb = st[0], st[1]
                 slot = jax.lax.rem(c, 2)
 
                 @pl.when(c + 1 < nchunks)
@@ -652,8 +711,10 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 dma(c, slot).wait()
                 scr = scr_ref[slot]
                 off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
-                depth, cov = _kernel_eval(scr, Xf, Yf, hl, wl, perspective,
-                                          eps, full, inv=inv)
+                out = _kernel_eval(scr, Xf, Yf, hl, wl, perspective,
+                                   eps, full, inv=inv,
+                                   want_coeff=n_attr > 0)
+                depth, cov = out[0], out[1]
                 pos = off + lane
                 cov = cov & (pos >= start) & (pos < end)
                 ids = scr[9:10, :]
@@ -665,23 +726,41 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 )
                 better = zc > zb
                 equal = zc == zb
-                wb = jnp.where(
+                new = list(st)
+                if n_attr:
+                    co0, co1, co2 = out[2], out[3], out[4]
+                    # the chunk's winning lane (exactly the id the winner
+                    # update below would pick)
+                    pick = cov & (zm == zc) & (ids == idc)
+                    sel = better | (equal & (idc < wb))
+                    for ci in range(n_attr):
+                        a0 = scr[10 + ci:11 + ci, :]
+                        a1 = scr[10 + n_attr + ci:11 + n_attr + ci, :]
+                        a2 = scr[10 + 2 * n_attr + ci:11 + 2 * n_attr + ci, :]
+                        val = co0 * a0 + co1 * a1 + co2 * a2
+                        vc = jnp.sum(jnp.where(pick, val, 0.0),
+                                     axis=1, keepdims=True)
+                        new[2 + ci] = jnp.where(sel, vc, st[2 + ci])
+                new[1] = jnp.where(
                     better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb)
                 )
-                zb = jnp.maximum(zb, zc)
-                return zb, wb
+                new[0] = jnp.maximum(zb, zc)
+                return tuple(new)
 
             return jax.lax.fori_loop(0, nchunks, body, state)
 
         state = (
             jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
             jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
+        ) + tuple(
+            jnp.zeros((P_pad, 1), jnp.float32) for _ in range(n_attr)
         )
-        for tier, span in enumerate(spans):
+        for tier, span, full_math in MULTI_TIERS:
             base = tier * ntiles
             col_lo = jnp.maximum(tx - (span - 1), 0)
 
-            def run_tier(state, base=base, span=span, col_lo=col_lo):
+            def run_tier(state, base=base, span=span, col_lo=col_lo,
+                         full_math=full_math):
                 for dy in range(span):
                     row = ty - dy
                     row_ok = row >= 0
@@ -690,24 +769,35 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                     seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
                     seg_lo = jnp.where(row_ok, seg_lo, 0)
                     seg_hi = jnp.where(row_ok, seg_hi, 0)
-                    state = scan_range(state, seg_lo, seg_hi, full=False)
+                    state = scan_range(state, seg_lo, seg_hi, full=full_math)
                 return state
 
-            if span == 1:
+            if tier == 0:
                 state = run_tier(state)
             else:
+                # skip the whole tier when globally empty (one SMEM compare
+                # beats `span` empty loop setups per tile; the degenerate
+                # tiers are usually empty on clean meshes)
                 tier_n = starts_ref[b, base + ntiles] - starts_ref[b, base]
                 state = jax.lax.cond(tier_n > 0, run_tier, lambda s: s, state)
-        n_tiers = len(spans) + 1
         state = scan_range(
             state,
-            starts_ref[b, (n_tiers - 1) * ntiles],
-            starts_ref[b, n_tiers * ntiles],
+            starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
+            starts_ref[b, MULTI_N_TIERS * ntiles],
             full=True,
         )
-        zb, wb = state
-        win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
-        win_ref[0, 0, :, :] = win
+        zb, wb = state[0], state[1]
+        if n_attr:
+            # cols 0..C-1: interpolated values (0 on background);
+            # col C: winner id (-1 background) — ids < 2^24 are exact in f32
+            vals = jnp.concatenate(list(state[2:]) + [wb], axis=1)
+            bg = jnp.concatenate(
+                [jnp.zeros((P_pad, n_attr), jnp.float32),
+                 jnp.full((P_pad, 1), -1.0, jnp.float32)], axis=1)
+            win_ref[0, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
+        else:
+            win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
+            win_ref[0, 0, :, :] = win
 
     return kernel, P_pad
 
@@ -719,12 +809,23 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
 def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
                                    perspective: bool = False,
                                    eps: float = 1e-6,
-                                   interpret: bool = False):
-    """Winner maps for the whole pyramid in one kernel pass.
+                                   interpret: bool = False,
+                                   attrs=None):
+    """Winner maps — or fused interpolated value maps — for the whole
+    pyramid in one kernel pass.
 
-    Returns a list of ``n_levels`` winner maps ``[B, top>>k, top>>k]`` int32
-    (-1 background), k = 0..n_levels-1 — each bit-identical to
-    ``rasterize_winners`` (the dense oracle) at that resolution.
+    ``attrs=None``: returns a list of ``n_levels`` winner maps
+    ``[B, top>>k, top>>k]`` int32 (-1 background), k = 0..n_levels-1 — each
+    bit-identical to ``rasterize_winners`` (the dense oracle) at that
+    resolution.
+
+    ``attrs=[B, nv, C]``: fused mode — the kernel interpolates the winning
+    triangle's per-vertex attributes in-register and returns
+    ``(values [B, s, s, C] f32, winner [B, s, s] int32)`` per level
+    (0 / -1 on background). This skips the entire per-pixel gather +
+    coefficient-recompute pass on the forward; the winner map lets
+    ``rasterize_pyramid_fused`` recompute interpolation-only gradients on
+    the backward (custom VJP).
 
     Constraints: ``top`` a multiple of 16; levels down to the tile edge
     (``top >> (n_levels-1) >= top // tile`` pixels per tile >= 1).
@@ -737,11 +838,17 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
     B = v.shape[0]
     ntx = nty = top // tile
     ntiles = ntx * nty
+    n_attr = 0
+    if attrs is not None:
+        attrs = lax.stop_gradient(jnp.asarray(attrs))
+        n_attr = attrs.shape[-1]
+        assert attrs.shape[:2] == v.shape[:2], (attrs.shape, v.shape)
+        assert n_attr <= 7, "fused interpolation supports <= 7 channels"
 
     dat, starts = build_bins_multi(v, tri, top, n_levels, perspective, eps,
-                                   tile)
+                                   tile, attrs=attrs)
     kernel, P_pad = _make_kernel_multi(top, n_levels, ntx, nty, perspective,
-                                       eps, tile)
+                                       eps, tile, n_attr=n_attr)
     _, offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
         _multi_level_rows(top, n_levels, tile)
     )
@@ -750,6 +857,7 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
                         np.zeros((P_pad, 2), np.float32)], axis=1)
     )  # [P_pad, 8]
 
+    out_ch = n_attr + 1 if n_attr else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, ntiles),
@@ -758,26 +866,33 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, P_pad, 1), lambda b, t, starts: (b, t, 0, 0)
+            (1, 1, P_pad, out_ch), lambda b, t, starts: (b, t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, _dat_rows(n_attr), CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     win = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, ntiles, P_pad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, ntiles, P_pad, out_ch),
+            jnp.float32 if n_attr else jnp.int32,
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, rows, dat)
-    win = win[..., 0]  # [B, ntiles, P_pad]
     outs = []
     for k in range(n_levels):
         tl = tile >> k
         sl = top >> k
-        w_k = win[:, :, offsets[k]:offsets[k] + tl * tl]
-        w_k = w_k.reshape(B, nty, ntx, tl, tl)
-        w_k = w_k.transpose(0, 1, 3, 2, 4).reshape(B, sl, sl)
-        outs.append(w_k)
+        w_k = win[:, :, offsets[k]:offsets[k] + tl * tl, :]
+        w_k = w_k.reshape(B, nty, ntx, tl, tl, out_ch)
+        w_k = w_k.transpose(0, 1, 3, 2, 4, 5).reshape(B, sl, sl, out_ch)
+        if n_attr:
+            outs.append(
+                (w_k[..., :n_attr], w_k[..., n_attr].astype(jnp.int32))
+            )
+        else:
+            outs.append(w_k[..., 0])
     return outs

@@ -180,3 +180,98 @@ def test_rasterize_pyramid_matches_per_level():
     gv_b, gn_b = jax.grad(loss_ref, argnums=(0, 1))(v, n)
     np.testing.assert_allclose(np.asarray(gv_a), np.asarray(gv_b), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gn_a), np.asarray(gn_b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("perspective", [False, True])
+def test_fused_attrs_match_interp(perspective):
+    """Fused in-kernel interpolation == winner map + JAX interp, every level."""
+    from stylerenderer_tpu.ops.rasterize import rasterize
+
+    rng = np.random.RandomState(11)
+    nv, nf, B, top = 50, 160, 2, 32
+    v = rng.randn(B, nv, 3).astype(np.float32) * 0.6
+    if perspective:
+        v[:, :, 2] -= 3.0
+    tri = rng.randint(0, nv, (nf, 3)).astype(np.int32)
+    attrs = rng.randn(B, nv, 3).astype(np.float32)
+    outs = rp.rasterize_winners_pallas_multi(
+        jnp.asarray(v), jnp.asarray(tri), top, 5, perspective,
+        attrs=jnp.asarray(attrs),
+    )
+    assert len(outs) == 5
+    for k, (m, win) in enumerate(outs):
+        s = top >> k
+        ref = np.asarray(
+            rasterize(jnp.asarray(v), jnp.asarray(attrs), jnp.asarray(tri),
+                      s, s, perspective)
+        )
+        np.testing.assert_allclose(np.asarray(m), ref, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"level {s}")
+        dense_win = np.asarray(
+            rasterize_winners(jnp.asarray(v), jnp.asarray(tri), s, s,
+                              perspective)
+        )
+        np.testing.assert_array_equal(np.asarray(win), dense_win,
+                                      err_msg=f"win level {s}")
+
+
+def test_fused_attrs_degenerate_and_xl():
+    """Fused mode handles XL-tier (huge + degenerate) triangles identically."""
+    from stylerenderer_tpu.ops.rasterize import rasterize
+
+    h = 16
+    y_row = 1.0 - 7.5 / 8.0
+    v = np.asarray(
+        [[[-1, -1, 0.0], [-1, 1, 0], [1, 0, 0],        # image-filling
+          [-0.5, y_row, 0.5], [0.5, y_row, 0.5]]],     # degenerate segment
+        np.float32,
+    )
+    tri = np.asarray([[2, 1, 0], [3, 4, 4]], np.int32)
+    attrs = np.asarray(
+        [[[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.5, 0.5, 0], [0, 0.5, 0.5]]],
+        np.float32,
+    )
+    outs = rp.rasterize_winners_pallas_multi(
+        jnp.asarray(v), jnp.asarray(tri), h, 2, attrs=jnp.asarray(attrs)
+    )
+    for k, (m, _) in enumerate(outs):
+        s = h >> k
+        ref = np.asarray(rasterize(jnp.asarray(v), jnp.asarray(attrs),
+                                   jnp.asarray(tri), s, s))
+        np.testing.assert_allclose(np.asarray(m), ref, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"level {s}")
+
+
+def test_rasterize_pyramid_fused_matches():
+    """rasterize_pyramid_fused == rasterize_pyramid: values to f32 rounding
+    AND gradients exactly (the custom VJP recomputes the same
+    interpolation-only gradients from the saved winner maps)."""
+    from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
+    from stylerenderer_tpu.ops.rasterize import (
+        rasterize_pyramid, rasterize_pyramid_fused,
+    )
+
+    face, tri = synthetic_face(12, 24, 4, 2)
+    v = face(face.random_input(jax.random.PRNGKey(7), 2))
+    n = mesh_point_normal(v, tri)
+    sizes = [4, 8, 16, 32]
+    a = rasterize_pyramid(v, n, tri, sizes, method="pallas_multi")
+    b = rasterize_pyramid_fused(v, n, tri, sizes, method="pallas_multi")
+    for s, ma, mb in zip(sizes, a, b):
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb),
+                                   rtol=1e-4, atol=2e-5, err_msg=f"size {s}")
+
+    def loss(fn):
+        def f(v_, n_):
+            return sum(jnp.sum(m ** 2) for m in
+                       fn(v_, n_, tri, sizes, method="pallas_multi"))
+        return f
+
+    gv_a, gn_a = jax.grad(loss(rasterize_pyramid), argnums=(0, 1))(v, n)
+    gv_b, gn_b = jax.grad(loss(rasterize_pyramid_fused), argnums=(0, 1))(v, n)
+    # same winner maps -> same interp recompute -> gradients agree to fp
+    # noise of the (value**2) cotangents, which differ at ~1e-5
+    np.testing.assert_allclose(np.asarray(gv_a), np.asarray(gv_b),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gn_a), np.asarray(gn_b),
+                               rtol=1e-3, atol=1e-4)
