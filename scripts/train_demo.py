@@ -35,7 +35,8 @@ def train(steps: int, data: str, out: str, size: int = 64, batch: int = 32):
         data, "--size", str(size), "--batch", str(batch),
         "--iter", str(steps), "--seed", "7",
         "--compute_dtype", "bfloat16",
-        "--ckpt_every", "10000", "--sample_every", "2500",
+        "--ckpt_every", str(max(steps // 8, 1)), "--ckpt_keep", "10",
+        "--sample_every", str(max(steps // 8, 1)),
         "--log_every", "25", "--n_sample", "16",
         "--out_dir", out,
     ])

@@ -45,6 +45,8 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--out_dir", type=str, default=".")
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--ckpt_keep", type=int, default=5,
+                   help="checkpoints retained (orbax max_to_keep)")
     p.add_argument("--sample_every", type=int, default=100)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--compute_dtype", type=str, default="float32",
@@ -227,7 +229,8 @@ def main(argv=None):
                     np.asarray(norms),
                 )
             if (i + 1) % args.ckpt_every == 0 or (i + 1) == cfg.iter:
-                save_checkpoint(ckpt_dir, i + 1, jax.device_get(state), cfg)
+                save_checkpoint(ckpt_dir, i + 1, jax.device_get(state), cfg,
+                                max_to_keep=args.ckpt_keep)
     logger.close()
 
 

@@ -222,3 +222,19 @@ def test_batched():
             tt = tri[win_want[b, yy, xx]]
             want[b, yy, xx] = coef_want[b, yy, xx] @ tex[b, tt]
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=1e-4)
+
+
+def test_out_of_range_indices_skipped_and_finite():
+    """Triangles with negative / out-of-range vertex ids are skipped by every
+    winner backend AND never poison the interpolated output (jnp.take's
+    default fill mode yields NaN rows; 0 * NaN would NaN even background
+    pixels — regression test for the clipped _triangle_table gather)."""
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(1, 50, 3).astype(np.float32))
+    tex = jnp.asarray(rng.randn(1, 50, 3).astype(np.float32))
+    bad = jnp.asarray(np.array([[0, 1, 999999], [-5, 2, 3]], np.int32))
+    out = np.asarray(rasterize(v, tex, bad, 16))
+    assert np.isfinite(out).all()
+    assert (out == 0).all()  # both triangles skipped -> all background
+    g = jax.grad(lambda vv: jnp.sum(rasterize(vv, tex, bad, 16) ** 2))(v)
+    assert np.isfinite(np.asarray(g)).all()
