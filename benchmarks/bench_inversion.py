@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from benchmarks.common import production_face, sync
 
 
-def main(iters: int = 300):
+def main(iters: int = 300, batch: int = 1):
     from stylerenderer_tpu.eval.lpips import load_lpips
     from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
     from stylerenderer_tpu.models import GeneratorWithMap
@@ -30,8 +30,8 @@ def main(iters: int = 300):
     size, latent = 256, 512
     gen = GeneratorWithMap(size, latent, 8, dtype=jnp.bfloat16,
                            pyramid_mode="downsample")
-    face, tri, vert, norm = production_face(1)
-    z0 = jnp.zeros((1, latent))
+    face, tri, vert, norm = production_face(batch)
+    z0 = jnp.zeros((batch, latent))
     variables = gen.init(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
         [z0], (vert, norm, tri),
@@ -49,8 +49,8 @@ def main(iters: int = 300):
         make_projector(gen, variables["params"], face, tri, cfg,
                        lpips_fn=lpips_fn, lmk_vidx=lmk_vidx)
     )
-    target = jnp.zeros((1, size, size, 3))
-    target_lmk = jnp.full((1, 68, 2), size / 2.0)
+    target = jnp.zeros((batch, size, size, 3))
+    target_lmk = jnp.full((batch, 68, 2), size / 2.0)
 
     out = project(jax.random.PRNGKey(3), target, target_lmk)
     sync(out["render"])
@@ -60,9 +60,11 @@ def main(iters: int = 300):
     dt = time.time() - t0
     assert np.isfinite(float(out["losses"]["lpips"]))
     assert np.isfinite(float(out["losses"]["lmk"]))
-    print(f"{iters}-iter inversion (LPIPS+lmk): {dt:.2f} s/face "
-          f"({dt / iters * 1e3:.1f} ms/iter)")
+    print(f"{iters}-iter inversion (LPIPS+lmk), batch {batch}: "
+          f"{dt / batch:.2f} s/face "
+          f"({dt / iters * 1e3:.1f} ms/iter for the batch)")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 1)

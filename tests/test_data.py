@@ -133,3 +133,22 @@ def test_device_prefetch(image_dir, tmp_path):
     for b in batches:
         assert isinstance(b, jax.Array)
         assert b.shape == (4, 8, 8, 3)
+
+
+def test_synth_dataset_roundtrip(tmp_path):
+    """data/synth.py: rendered shaded-face shard reads back as valid images
+    (the training-demo data source, scripts/train_demo.py)."""
+    from stylerenderer_tpu.data.srpack import SRPackReader
+    from stylerenderer_tpu.data.synth import write_synth_dataset
+    from stylerenderer_tpu.face3d import synthetic_face
+
+    face, tri = synthetic_face(8, 16, 4, 2)
+    path = str(tmp_path / "synth.srpack")
+    n = write_synth_dataset(path, 6, size=16, batch=4, face=face, tri=tri)
+    assert n == 6
+    r = SRPackReader(path)
+    assert r.n_items == 6
+    imgs = r.read_batch_raw(16, np.arange(6))
+    assert imgs.shape == (6, 16, 16, 3) and imgs.dtype == np.uint8
+    # shaded faces on a solid background: nonzero variance
+    assert imgs.std() > 1.0
