@@ -483,18 +483,19 @@ def _make_fused_levels(tri, top: int, covered, perspective: bool, eps: float):
 
     def bwd(res, cts):
         v, tex_b, wins = res
-        gv = jnp.zeros_like(v)
-        gt = jnp.zeros_like(tex_b)
-        for win, ct, s in zip(wins, cts, covered):
-            _, vjp_fn = jax.vjp(
-                lambda vv, tt: _interp_from_win(
-                    vv, tt, tri, win, s, s, perspective, eps
-                ),
-                v, tex_b,
-            )
-            dv, dt = vjp_fn(ct)
-            gv = gv + dv
-            gt = gt + dt
+
+        def all_levels(vv, tt):
+            # ONE shared triangle table: level cotangents sum into its rows
+            # and a single segment-sum carries them back to vertices
+            tbl = _triangle_table(vv, tt, tri)
+            return [
+                _interp_from_win(vv, tt, tri, win, s, s, perspective, eps,
+                                 tbl=tbl)
+                for win, s in zip(wins, covered)
+            ]
+
+        _, vjp_fn = jax.vjp(all_levels, v, tex_b)
+        gv, gt = vjp_fn(list(cts))
         return gv, gt
 
     fused.defvjp(fwd, bwd)
