@@ -219,6 +219,21 @@ def load_patched_inception_v3(weights_path: str | None = None, rng=None):
     params = model.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
     if weights_path:
         params = load_torch_inception_weights(weights_path, params)
+    else:
+        # random-feature mode: flax's default lecun init loses half the
+        # variance through every conv+relu, so 90+ layers collapse all
+        # inputs to one point (FID identically 0). He gain (x sqrt 2 per
+        # conv kernel) preserves signal, making random-feature FID
+        # discriminative (self-consistent trends, still not comparable to
+        # published numbers — see module docstring).
+        import numpy as np
+
+        def he(path, x):
+            if path[-1].key == "kernel":
+                return x * np.sqrt(2.0)
+            return x
+
+        params = jax.tree_util.tree_map_with_path(he, params)
     return model, params
 
 
