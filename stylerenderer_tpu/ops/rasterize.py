@@ -535,9 +535,12 @@ def rasterize_pyramid_fused(v, tex, tri, sizes, perspective: bool = False,
         top = max(sizes)
         tile = 16 if top <= 256 else 32
         if top % tile == 0:
+            # levels below 1 px/tile (the 8/4 px pyramid tail) are covered
+            # too: the kernel runs them in a single-tile second pass over
+            # the same binned data
             covered = []
             k = 0
-            while (tile >> k) >= 1 and (top >> k) in sizes:
+            while (top >> k) >= 1 and (top >> k) in sizes:
                 covered.append(top >> k)
                 k += 1
             if len(covered) > 1 or (len(covered) == 1 and covered[0] == top):
@@ -582,10 +585,11 @@ def rasterize_pyramid(v, tex, tri, sizes, perspective: bool = False,
         top = max(sizes)
         tile = 16 if top <= 256 else 32
         if top % tile == 0:
-            # levels the one-pass kernel can cover: top >> k with >= 1 px/tile
+            # all pyramid levels, incl. the sub-tile 8/4 px tail (second
+            # single-tile pass inside the multi kernel)
             covered = []
             k = 0
-            while (tile >> k) >= 1 and (top >> k) in sizes:
+            while (top >> k) >= 1 and (top >> k) in sizes:
                 covered.append(top >> k)
                 k += 1
             if len(covered) > 1:

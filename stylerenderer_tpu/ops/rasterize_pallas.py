@@ -45,6 +45,7 @@ from stylerenderer_tpu.ops.rasterize_binned import _setup
 
 TILE = 8
 CHUNK = 128
+TAIL_CHUNK = 512  # the single-tile tail kernel's per-DMA triangle count
 _BIG_ID = np.float32(2**24)  # ids stored in f32; nf must stay below this
 _NEG_INF = np.float32(-3.0e38)
 
@@ -143,14 +144,9 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
     return dat, starts
 
 
-def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None,
-                 want_coeff=False):
+def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
     """Candidate evaluation on [px, 128 tri] blocks; mirrors
     rasterize._eval_candidate (same branches, same clamps).
-
-    ``want_coeff=True`` additionally returns the interpolation coefficients
-    (perspective-corrected exactly like ``_eval_candidate``) for the fused
-    attribute-interpolation mode.
 
     ``full=False`` compiles out the degenerate segment/point fallback
     (~40% of the VPU ops): build_bins routes every |det| <= eps triangle
@@ -218,7 +214,7 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None,
         co0, co1, co2 = cn0, cn1, cn2
         cov = front & bbox_ok & in_bbox & raw_ok & nondeg
         return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
-                             eps, want_coeff)
+                             eps)
 
     l0 = b0 * b0 + c0 * c0
     l1 = b1 * b1 + c1 * c1
@@ -274,12 +270,10 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None,
     co1 = jnp.where(nondeg, cn1, d1c)
     co2 = jnp.where(nondeg, cn2, d2c)
     cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
-    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps,
-                         want_coeff)
+    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
 
 
-def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps,
-                  want_coeff=False):
+def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
     if perspective:
         # vertices with z >= -eps were pre-culled in _setup (persp_ok)
         z0s = jnp.where(z0 < -eps, z0, -1.0)
@@ -288,13 +282,8 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps,
         q0, q1, q2 = co0 / z0s, co1 / z1s, co2 / z2s
         depth = q0 + q1 + q2
         cov = cov & (depth < -eps)
-        if want_coeff:
-            # perspective-correct interpolation (rasterize.h:132-140)
-            return depth, cov, q0 * depth, q1 * depth, q2 * depth
     else:
         depth = co0 * z0 + co1 * z1 + co2 * z2
-        if want_coeff:
-            return depth, cov, co0, co1, co2
     return depth, cov
 
 
@@ -473,8 +462,10 @@ def bin_overflow(v, tri, h, w, perspective=False, eps=1e-6):
 # ---------------------------------------------------------------------------
 
 
-def _multi_level_rows(top: int, n_levels: int, tile: int):
-    """Static per-pixel-row tables for levels top, top/2, ... (n_levels).
+def _multi_level_rows(top: int, n_levels: int, tile: int, level0: int = 0):
+    """Static per-pixel-row tables for ``n_levels`` pyramid levels starting
+    at ``level0`` (level k renders ``top >> (level0+k)`` px from coords
+    stored at the ``top`` scale).
 
     Returns (P_pad, offsets per level, inv [P,1], wl [P,1], hl [P,1],
     xoff [P,1], yoff [P,1], tl [P,1]) as numpy f32 — row p of a tile handles
@@ -484,10 +475,10 @@ def _multi_level_rows(top: int, n_levels: int, tile: int):
     p = 0
     for k in range(n_levels):
         tl = tile >> k
-        wl = top >> k
+        wl = top >> (level0 + k)
         offsets.append(p)
         for i in range(tl * tl):
-            rows_inv.append(1.0 / (1 << k))
+            rows_inv.append(1.0 / (1 << (level0 + k)))
             rows_w.append(wl)
             rows_h.append(wl)
             rows_x.append(i % tl)
@@ -559,7 +550,7 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
     n_attr = 0 if attrs is None else attrs.shape[-1]
     n_rows = _dat_rows(n_attr)
 
-    def per_batch(vb, ab):
+    def per_batch(vb, av):
         px, py, z, persp_ok, _x0, _y0, _valid, _span = _setup(
             vb, tri, top, top, perspective, eps
         )
@@ -623,11 +614,22 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         key = jnp.where(valid, tier * ntiles + home, n_tiers * ntiles)
 
         ids = jnp.arange(nf, dtype=jnp.int32)
+        # fused-interp mode: the 3C per-corner attribute values ride THROUGH
+        # the sort as extra operands. TPU gathers cost ~fixed time per INDEX
+        # (measured ~2 GB/s on small rows), so the alternative — gathering
+        # attrs after the sort via tri[ids_sorted] — costs two gathers of
+        # B*nf*3 indices (~49 ms on the production mesh); operand-carry costs
+        # only the sort's extra data movement (~1.6x cheaper, see
+        # benchmarks/profile_sort.py)
+        extra = ()
+        if n_attr:
+            extra = tuple(av[:, k, c]
+                          for k in range(3) for c in range(n_attr))
         ops = lax.sort(
             (key.astype(jnp.int32),
              px[:, 0], px[:, 1], px[:, 2],
              py[:, 0], py[:, 1], py[:, 2],
-             z[:, 0], z[:, 1], z[:, 2], ids),
+             z[:, 0], z[:, 1], z[:, 2], ids) + extra,
             num_keys=1,
         )
         key_sorted = ops[0]
@@ -636,13 +638,7 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         ).astype(jnp.int32)
         ids_sorted = ops[10]
         rows = list(ops[1:10]) + [ids_sorted.astype(jnp.float32)]
-        if n_attr:
-            # fused-interp mode: per-corner attribute values, gathered AFTER
-            # the sort via the sorted ids (9 extra sort operands would cost
-            # more than one [nf,3,C] gather)
-            cidx = jnp.clip(tri, 0, vb.shape[0] - 1)[ids_sorted]  # [nf, 3]
-            av = ab[cidx.reshape(-1)].reshape(nf, 3, n_attr)  # [nf, 3, C]
-            rows += [av[:, k, c] for k in range(3) for c in range(n_attr)]
+        rows += list(ops[11:])
         zero = jnp.zeros((nf,), jnp.float32)
         rows += [zero] * (n_rows - len(rows))
         return jnp.stack(rows, axis=0), starts
@@ -650,21 +646,43 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
     if attrs is None:
         dat, starts = jax.vmap(lambda vb: per_batch(vb, None))(v)
     else:
-        dat, starts = jax.vmap(per_batch)(v, attrs.astype(jnp.float32))
-    padn = (-nf) % CHUNK + CHUNK
+        # ONE batch-shared corner gather: tri is the same for every batch
+        # item, so putting batch on the TRAILING axis turns B separate
+        # [nf*3]-index gathers (index count is what gathers cost on this
+        # chip) into a single [nf*3]-index gather of [B*C]-wide rows
+        ab = attrs.astype(jnp.float32)
+        B, nv, C = ab.shape
+        cidx = jnp.clip(tri, 0, nv - 1).reshape(-1)  # [3nf], batch-shared
+        av = ab.transpose(1, 0, 2).reshape(nv, B * C)[cidx]  # [3nf, B*C]
+        av = av.reshape(nf, 3, B, C).transpose(2, 0, 1, 3)  # [B, nf, 3, C]
+        dat, starts = jax.vmap(per_batch)(v, av)
+    # guard padding sized for the LARGEST chunk any consumer kernel streams
+    # (the tail kernel reads TAIL_CHUNK-aligned blocks from offset 0)
+    padn = (-nf) % TAIL_CHUNK + TAIL_CHUNK
     dat = jnp.pad(dat, ((0, 0), (0, 0), (0, padn)))
     return dat, starts
 
 
 def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
-                       n_attr=0):
-    """n_attr=0: winner-id kernel. n_attr=C: fused-interpolation kernel —
-    the scan state carries the winner's interpolated attribute values and
-    the output is the finished [P, C] value block (no winner ids, no
-    per-pixel gathers afterwards)."""
+                       n_attr=0, level0=0, chunk=CHUNK):
+    """n_attr=0: winner-id kernel. n_attr=C: row-extraction kernel — the
+    scan state carries the WINNING TRIANGLE'S ENTIRE DATA ROW (projected
+    corner coords + per-corner attributes), extracted per chunk with ONE
+    MXU contraction ``pick[P,CHUNK] @ chunk[R,CHUNK]^T`` (pick is the
+    winner's one-hot lane mask, so the product IS the winner's row).
+    Interpolation coefficients are then recomputed OUTSIDE the kernel on
+    dense per-pixel shapes — no per-pixel gather ever happens, and the
+    z-scan stays as cheap as the winner-only kernel (the earlier in-scan
+    interpolation variant recomputed coefficients for every chunk and
+    carried value columns through the scan: measured ~2.6x the winner-only
+    kernel; row extraction adds ~10%).
+
+    ``chunk`` is the per-DMA triangle count (the tail kernel streams the
+    whole mesh through ONE tile per batch, so it uses bigger chunks to
+    amortize the scan-loop overhead)."""
     ntiles = ntx * nty
     P_pad, _offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
-        _multi_level_rows(top, n_levels, tile)
+        _multi_level_rows(top, n_levels, tile, level0)
     )
 
     def kernel(starts_ref, rows_ref, dat_ref, win_ref, scr_ref, sem):
@@ -681,18 +699,18 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
         tyf = jnp.full((P_pad, 1), ty, jnp.float32)
         Xf = txf * tl + rows[:, 3:4]  # level-k pixel x of this tile's row p
         Yf = tyf * tl + rows[:, 4:5]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
         def scan_range(state, start, end, full):
-            c0 = start // CHUNK
+            c0 = start // chunk
             nchunks = jnp.where(
-                end > start, (end - c0 * CHUNK + CHUNK - 1) // CHUNK, 0
+                end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
             )
 
             def dma(c, slot):
-                off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
+                off = pl.multiple_of((c0 + c) * chunk, chunk)
                 return pltpu.make_async_copy(
-                    dat_ref.at[b, :, pl.ds(off, CHUNK)],
+                    dat_ref.at[b, :, pl.ds(off, chunk)],
                     scr_ref.at[slot], sem.at[slot],
                 )
 
@@ -710,11 +728,9 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
 
                 dma(c, slot).wait()
                 scr = scr_ref[slot]
-                off = pl.multiple_of((c0 + c) * CHUNK, CHUNK)
-                out = _kernel_eval(scr, Xf, Yf, hl, wl, perspective,
-                                   eps, full, inv=inv,
-                                   want_coeff=n_attr > 0)
-                depth, cov = out[0], out[1]
+                off = pl.multiple_of((c0 + c) * chunk, chunk)
+                depth, cov = _kernel_eval(scr, Xf, Yf, hl, wl, perspective,
+                                          eps, full, inv=inv)
                 pos = off + lane
                 cov = cov & (pos >= start) & (pos < end)
                 ids = scr[9:10, :]
@@ -728,29 +744,18 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 equal = zc == zb
                 new = list(st)
                 if n_attr:
-                    co0, co1, co2 = out[2], out[3], out[4]
                     # the chunk's winning lane (exactly the id the winner
-                    # update below would pick)
+                    # update below picks) as a one-hot [P, CHUNK] mask —
+                    # ONE lane contraction with the whole scratch block
+                    # extracts that lane's full per-triangle row
                     pickf = jnp.where(cov & (zm == zc) & (ids == idc),
                                       1.0, 0.0)
                     sel = better | (equal & (idc < wb))
-                    # Σ_lane pick·(Σ_k co_k·A_kc) == Σ_k (pick·co_k) @ A_kᵀ:
-                    # three [P,CHUNK]x[C,CHUNK] lane contractions on the MXU
-                    # instead of C masked lane-reductions per chunk on the
-                    # VPU (the reductions were ~2x the whole winner search)
-                    acc = None
-                    for k, cok in enumerate((co0, co1, co2)):
-                        m = pickf * cok  # [P, CHUNK]
-                        a = scr[10 + k * n_attr:10 + (k + 1) * n_attr, :]
-                        part = jax.lax.dot_general(
-                            m, a, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # [P, C]
-                        acc = part if acc is None else acc + part
-                    for ci in range(n_attr):
-                        new[2 + ci] = jnp.where(
-                            sel, acc[:, ci:ci + 1], st[2 + ci]
-                        )
+                    row = jax.lax.dot_general(
+                        pickf, scr, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [P, R]
+                    new[2] = jnp.where(sel, row, st[2])
                 new[1] = jnp.where(
                     better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb)
                 )
@@ -759,12 +764,11 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
 
             return jax.lax.fori_loop(0, nchunks, body, state)
 
+        n_rows = _dat_rows(n_attr)
         state = (
             jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
             jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
-        ) + tuple(
-            jnp.zeros((P_pad, 1), jnp.float32) for _ in range(n_attr)
-        )
+        ) + ((jnp.zeros((P_pad, n_rows), jnp.float32),) if n_attr else ())
         for tier, span, full_math in MULTI_TIERS:
             base = tier * ntiles
             col_lo = jnp.maximum(tx - (span - 1), 0)
@@ -798,11 +802,11 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
         )
         zb, wb = state[0], state[1]
         if n_attr:
-            # cols 0..C-1: interpolated values (0 on background);
-            # col C: winner id (-1 background) — ids < 2^24 are exact in f32
-            vals = jnp.concatenate(list(state[2:]) + [wb], axis=1)
+            # cols 0..R-1: the winner's extracted data row (0 background);
+            # col R: winner id (-1 background) — ids < 2^24 exact in f32
+            vals = jnp.concatenate([state[2], wb], axis=1)
             bg = jnp.concatenate(
-                [jnp.zeros((P_pad, n_attr), jnp.float32),
+                [jnp.zeros((P_pad, n_rows), jnp.float32),
                  jnp.full((P_pad, 1), -1.0, jnp.float32)], axis=1)
             win_ref[0, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
         else:
@@ -837,12 +841,15 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
     ``rasterize_pyramid_fused`` recompute interpolation-only gradients on
     the backward (custom VJP).
 
-    Constraints: ``top`` a multiple of 16; levels down to the tile edge
-    (``top >> (n_levels-1) >= top // tile`` pixels per tile >= 1).
+    Constraints: ``top`` a multiple of 16. Levels the TILED kernel can hold
+    go down to 1 px/tile; DEEPER levels (the pyramid's 8/4 px tail) run in a
+    second single-tile pass over the SAME binned data — one whole-mesh
+    stream per batch with big DMA chunks, replacing the dense per-level
+    search (which at these sizes is HBM-bound on [nf, s*s] intermediates).
     """
     tile = 16 if top <= 256 else 32
     assert top % tile == 0, (top, tile)
-    assert (tile >> (n_levels - 1)) >= 1, "coarsest level under 1 px/tile"
+    assert (top >> (n_levels - 1)) >= 1, "level below 1 px"
     v = lax.stop_gradient(v).astype(jnp.float32)
     tri = jnp.asarray(tri, jnp.int32)
     B = v.shape[0]
@@ -854,55 +861,113 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
         n_attr = attrs.shape[-1]
         assert attrs.shape[:2] == v.shape[:2], (attrs.shape, v.shape)
         assert n_attr <= 7, "fused interpolation supports <= 7 channels"
+    max_main = tile.bit_length()  # levels with >= 1 px/tile
+    n_main = min(n_levels, max_main)
+    n_tail = n_levels - n_main
+    n_rows = _dat_rows(n_attr)
+    out_ch = n_rows + 1 if n_attr else 1
 
     dat, starts = build_bins_multi(v, tri, top, n_levels, perspective, eps,
                                    tile, attrs=attrs)
-    kernel, P_pad = _make_kernel_multi(top, n_levels, ntx, nty, perspective,
-                                       eps, tile, n_attr=n_attr)
-    _, offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
-        _multi_level_rows(top, n_levels, tile)
-    )
-    rows = jnp.asarray(
-        np.concatenate([inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np,
-                        np.zeros((P_pad, 2), np.float32)], axis=1)
-    )  # [P_pad, 8]
 
-    out_ch = n_attr + 1 if n_attr else 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, ntiles),
-        in_specs=[
-            pl.BlockSpec((P_pad, 8), lambda b, t, starts: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, P_pad, out_ch), lambda b, t, starts: (b, t, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, _dat_rows(n_attr), CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    win = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, ntiles, P_pad, out_ch),
-            jnp.float32 if n_attr else jnp.int32,
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(starts, rows, dat)
+    def run(n_lv, tile_k, ntx_k, level0, starts_k, chunk):
+        kernel, P_pad = _make_kernel_multi(
+            top, n_lv, ntx_k, ntx_k, perspective, eps, tile_k,
+            n_attr=n_attr, level0=level0, chunk=chunk,
+        )
+        _, offs, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
+            _multi_level_rows(top, n_lv, tile_k, level0)
+        )
+        rows = jnp.asarray(
+            np.concatenate([inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np,
+                            np.zeros((P_pad, 2), np.float32)], axis=1)
+        )  # [P_pad, 8]
+        ntl = ntx_k * ntx_k
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ntl),
+            in_specs=[
+                pl.BlockSpec((P_pad, 8), lambda b, t, starts: (0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, P_pad, out_ch), lambda b, t, starts: (b, t, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_rows, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        win = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, ntl, P_pad, out_ch),
+                jnp.float32 if n_attr else jnp.int32,
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(starts_k, rows, dat)
+        return win, offs
+
+    win, offsets = run(n_main, tile, ntx, 0, starts, CHUNK)
+    if n_tail:
+        # the tail's one tile must scan EVERY valid triangle: in sort order
+        # they form one contiguous prefix [0, n_valid). A 6-entry starts
+        # array with only the XL segment populated routes the whole prefix
+        # through the full-math scan.
+        tail_starts = jnp.concatenate(
+            [jnp.zeros((B, MULTI_N_TIERS), jnp.int32), starts[:, -1:]],
+            axis=1,
+        )
+        win_t, offsets_t = run(n_tail, top >> max_main, 1, n_main,
+                               tail_starts, TAIL_CHUNK)
+
     outs = []
     for k in range(n_levels):
-        tl = tile >> k
         sl = top >> k
-        w_k = win[:, :, offsets[k]:offsets[k] + tl * tl, :]
-        w_k = w_k.reshape(B, nty, ntx, tl, tl, out_ch)
-        w_k = w_k.transpose(0, 1, 3, 2, 4, 5).reshape(B, sl, sl, out_ch)
+        if k < n_main:
+            tl = tile >> k
+            w_k = win[:, :, offsets[k]:offsets[k] + tl * tl, :]
+            w_k = w_k.reshape(B, nty, ntx, tl, tl, out_ch)
+            w_k = w_k.transpose(0, 1, 3, 2, 4, 5).reshape(B, sl, sl, out_ch)
+        else:
+            kt = k - n_main
+            w_k = win_t[:, 0, offsets_t[kt]:offsets_t[kt] + sl * sl, :]
+            w_k = w_k.reshape(B, sl, sl, out_ch)
         if n_attr:
-            outs.append(
-                (w_k[..., :n_attr], w_k[..., n_attr].astype(jnp.int32))
+            win_k = w_k[..., n_rows].astype(jnp.int32)
+            vals = _values_from_rows(
+                w_k[..., :n_rows], win_k, n_attr, k, sl, perspective, eps
             )
+            outs.append((vals, win_k))
         else:
             outs.append(w_k[..., 0])
     return outs
+
+
+def _values_from_rows(rows, win, n_attr, k, s, perspective, eps):
+    """Interpolated values ``[B, s, s, C]`` from the kernel's extracted
+    winner rows: scale the winner's top-level corner coords to level ``k``
+    (exactly the kernel's ``px*2^-k + (2^-k-1)/2`` transform — power-of-two
+    scaling is f32-exact) and recompute the interpolation coefficients with
+    the dense-path formulas on dense per-pixel shapes. No gather anywhere:
+    this replaces both the in-scan interpolation (measured ~2.6x the winner
+    search) and the per-pixel row gather (~2 GB/s on this chip)."""
+    from stylerenderer_tpu.ops.rasterize import _eval_candidate
+
+    inv = np.float32(1.0 / (1 << k))
+    sh = inv * np.float32(0.5) - np.float32(0.5)
+    px = rows[..., 0:3] * inv + sh
+    py = rows[..., 3:6] * inv + sh
+    z = rows[..., 6:9]
+    X = jax.lax.broadcasted_iota(jnp.float32, (1, s, s), 2)
+    Y = jax.lax.broadcasted_iota(jnp.float32, (1, s, s), 1)
+    persp_ok = jnp.ones(px.shape[:-1], bool)  # invalid tris never binned
+    coeff, _, _ = _eval_candidate(
+        px, py, z, persp_ok, X, Y, s, s, perspective, eps
+    )
+    attrs = rows[..., 10:10 + 3 * n_attr].reshape(
+        rows.shape[:-1] + (3, n_attr)
+    )
+    vals = jnp.sum(coeff[..., None] * attrs, axis=-2)
+    return jnp.where((win >= 0)[..., None], vals, 0.0)

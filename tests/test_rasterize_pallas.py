@@ -153,6 +153,39 @@ def test_multi_level_sphere_pyramid():
     assert (np.asarray(outs[0]) >= 0).mean() > 0.2
 
 
+@pytest.mark.parametrize("attrs_mode", [False, True])
+def test_multi_level_tail_kernel(attrs_mode):
+    """Levels below 1 px/tile (the 8/4 px pyramid tail) run in the second
+    single-tile pass over the same binned data — winner maps must stay
+    bit-identical to the dense oracle, fused values within f32 rounding.
+    top=128 with tile 16 -> 5 tiled levels + 1 tail level (4 px)."""
+    from stylerenderer_tpu.ops.rasterize import rasterize
+
+    rng = np.random.RandomState(13)
+    nv, nf, B, top = 60, 200, 2, 128
+    v = jnp.asarray(rng.randn(B, nv, 3).astype(np.float32) * 0.6)
+    tri = jnp.asarray(rng.randint(0, nv, (nf, 3)).astype(np.int32))
+    if attrs_mode:
+        attrs = jnp.asarray(rng.randn(B, nv, 3).astype(np.float32))
+        outs = rp.rasterize_winners_pallas_multi(v, tri, top, 6, attrs=attrs)
+    else:
+        outs = rp.rasterize_winners_pallas_multi(v, tri, top, 6)
+    assert len(outs) == 6
+    for k, out in enumerate(outs):
+        s = top >> k
+        dense_win = np.asarray(rasterize_winners(v, tri, s, s))
+        if attrs_mode:
+            m, win = out
+            ref = np.asarray(rasterize(v, attrs, tri, s, s))
+            np.testing.assert_allclose(np.asarray(m), ref, rtol=1e-4,
+                                       atol=2e-5, err_msg=f"level {s}")
+            np.testing.assert_array_equal(np.asarray(win), dense_win,
+                                          err_msg=f"win level {s}")
+        else:
+            np.testing.assert_array_equal(np.asarray(out), dense_win,
+                                          err_msg=f"level {s}")
+
+
 def test_rasterize_pyramid_matches_per_level():
     """rasterize_pyramid (one multi-level pass) == per-size rasterize, values
     AND gradients (the generator's normal-map pyramid contract)."""
