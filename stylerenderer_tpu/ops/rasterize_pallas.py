@@ -751,9 +751,17 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                     pickf = jnp.where(cov & (zm == zc) & (ids == idc),
                                       1.0, 0.0)
                     sel = better | (equal & (idc < wb))
+                    # HIGHEST precision: the MXU multiplies f32 via bf16
+                    # term splits; with the default 1-pass the extracted
+                    # coords carry ~2^-24-relative error, which the
+                    # coefficient recompute amplifies through the tiny
+                    # rescaled determinants of coarse levels (measured
+                    # 4.6e-2 value error at the 8px level on chip). The
+                    # full split is exact for a {0,1} mask operand.
                     row = jax.lax.dot_general(
                         pickf, scr, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )  # [P, R]
                     new[2] = jnp.where(sel, row, st[2])
                 new[1] = jnp.where(
