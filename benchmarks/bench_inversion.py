@@ -23,6 +23,7 @@ from benchmarks.common import production_face, sync
 
 
 def main(iters: int = 300, batch: int = 1):
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from stylerenderer_tpu.eval.lpips import load_lpips
     from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
     from stylerenderer_tpu.models import GeneratorWithMap

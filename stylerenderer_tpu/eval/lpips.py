@@ -84,8 +84,14 @@ class AlexNetFeatures(nn.Module):
 
 
 def _unit_normalize(f, eps=1e-10):
-    n = jnp.sqrt(jnp.sum(f * f, -1, keepdims=True))
-    return f / (n + eps)
+    # clamp INSIDE the sqrt: d sqrt(x)/dx -> inf at x=0, so the reference's
+    # sqrt(sum f^2) + eps form (networks_basic.py:10-12) has a NaN gradient
+    # wherever a ReLU feature vector is exactly zero (e.g. the constant
+    # background of a render) — inversion optimizes THROUGH lpips, so the
+    # gradient must be finite everywhere; values differ only where
+    # ||f|| < eps, where the distance term is ~0 anyway
+    n2 = jnp.sum(f * f, -1, keepdims=True)
+    return f / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 class LPIPS(nn.Module):

@@ -78,6 +78,22 @@ def test_lpips_properties():
     np.testing.assert_allclose(d_diff, d_ba, rtol=1e-5)
 
 
+def test_lpips_grad_finite_on_flat_images():
+    """Inversion differentiates THROUGH lpips: the unit-normalize gradient
+    must be finite even where a ReLU feature vector is exactly zero (flat /
+    all-background images are the adversarial case — the reference's
+    sqrt(sum f^2)+eps form NaNs there)."""
+    apply_fn, params = load_lpips("vgg")
+    target = jnp.zeros((1, 64, 64, 3))
+
+    def loss(img):
+        return jnp.mean(apply_fn(params, img, target))
+
+    for img in (jnp.zeros((1, 64, 64, 3)), -jnp.ones((1, 64, 64, 3))):
+        g = jax.grad(loss)(img)
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def test_lpips_published_linear_heads_load():
     import os
 
