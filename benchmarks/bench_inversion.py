@@ -59,6 +59,13 @@ def main(iters: int = 300, batch: int = 1):
     out = project(jax.random.PRNGKey(4), target, target_lmk)
     sync(out["render"])
     dt = time.time() - t0
+    for k, val in sorted(out["losses"].items()):
+        print(f"  final {k}: {float(val):.6g}", flush=True)
+    hist = np.asarray(out["loss_history"])
+    bad = np.flatnonzero(~np.isfinite(hist))
+    if bad.size:
+        print(f"  loss went non-finite at iter {bad[0]} / {hist.size}",
+              flush=True)
     assert np.isfinite(float(out["losses"]["lpips"]))
     assert np.isfinite(float(out["losses"]["lmk"]))
     print(f"{iters}-iter inversion (LPIPS+lmk), batch {batch}: "
