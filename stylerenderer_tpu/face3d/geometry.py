@@ -18,10 +18,17 @@ from stylerenderer_tpu.face3d.transforms import euler_mat
 
 def normalize(v, axis: int = -1, eps: float = 1e-8):
     """L2-normalize with the reference's clamped-norm semantics
-    (layers.py:19-23: norm = max(||v||, eps), grad projected off v)."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True))
-    n = jnp.maximum(n, eps)
-    return v / n
+    (layers.py:19-23: norm = max(||v||, eps)).
+
+    The clamp sits INSIDE the sqrt — ``sqrt(max(n2, eps^2))`` equals
+    ``max(sqrt(n2), eps)`` exactly, but d sqrt/dx -> inf at x=0 makes the
+    naive form produce 0*inf = NaN gradients wherever the vector is exactly
+    zero (e.g. a mesh vertex whose incident face normals cancel, or an
+    unreferenced vertex under segment_sum) — inversion differentiates
+    through ``mesh_point_normal`` every iteration, so the gradient must be
+    finite everywhere (same fix class as eval/lpips.py::_unit_normalize)."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def mesh_point_normal(v, tri):

@@ -21,7 +21,10 @@ def normalize_vec(v, axis=-1, kind: str = "L2", eps: float = 1e-8):
     """L2 / L1 / Linf normalization with clamped norms (layers.py:13-34)."""
     kind = kind.upper()
     if "L2" in kind:
-        n = jnp.sqrt(jnp.sum(v * v, axis, keepdims=True))
+        # clamp inside the sqrt: max(sqrt(n2), eps) == sqrt(max(n2, eps^2))
+        # in value, but keeps the gradient finite at v == 0 (d sqrt -> inf)
+        n2 = jnp.sum(v * v, axis, keepdims=True)
+        return v / jnp.sqrt(jnp.maximum(n2, eps * eps))
     elif "L1" in kind:
         n = jnp.sum(v, axis, keepdims=True)
     elif "LINF" in kind:

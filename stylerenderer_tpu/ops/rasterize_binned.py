@@ -69,13 +69,20 @@ def _setup(vb, tri, h, w, perspective, eps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "perspective", "eps", "k_list", "big_cap"),
+    static_argnames=("h", "w", "perspective", "eps", "k_list", "big_cap",
+                     "return_overflow"),
 )
 def rasterize_winners_binned(
     v, tri, h: int, w: int, perspective: bool = False, eps: float = 1e-6,
     k_list: tuple[int, ...] = (8, 32), big_cap: int = 512,
+    return_overflow: bool = False,
 ):
-    """Winner map [B, H, W] (int32, -1 background) via windowed scatter."""
+    """Winner map [B, H, W] (int32, -1 background) via windowed scatter.
+
+    With ``return_overflow=True`` also returns the per-batch count of
+    triangles whose bbox span exceeds ``max(k_list)`` — results are exact
+    only while that count stays <= ``big_cap`` (the computation is shared
+    with the winner search, unlike the standalone ``big_overflow_count``)."""
     v = lax.stop_gradient(v).astype(jnp.float32)
     tri = jnp.asarray(tri, jnp.int32)
     B = v.shape[0]
@@ -164,6 +171,8 @@ def rasterize_winners_binned(
         return win.reshape(h, w), n_big_total
 
     win, n_big = lax.map(per_batch, v)
+    if return_overflow:
+        return win, n_big
     return win
 
 

@@ -57,7 +57,9 @@ def path_lengths_multi(synth_fn, rng, inputs, lambdas=None):
     pl = 0.0
     for lam, g in zip(lambdas, grads):
         g2 = jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1)
-        pl = pl + jnp.sqrt(g2) * lam
+        # guard sqrt'(0) = inf: a probe gradient can be exactly zero (an
+        # input tensor that does not reach the output); value shift <= 1e-12
+        pl = pl + jnp.sqrt(jnp.maximum(g2, 1e-24)) * lam
     return pl
 
 

@@ -58,7 +58,10 @@ def _sample_styles(rng, batch, latent_dim, mixing_prob, n_latent):
     z2 = jax.random.normal(k2, (batch, latent_dim))
     use_mix = jax.random.bernoulli(k3, mixing_prob)
     z2 = jnp.where(use_mix, z2, z1)
-    inject = jax.random.randint(k4, (), 1, max(n_latent - 1, 2))
+    # reference random.randint(1, n_latent-1) is INCLUSIVE of n_latent-1
+    # (train.py:165-171 via model.py:255); jax.random.randint's upper bound is
+    # exclusive, so it must be n_latent to sample the same support
+    inject = jax.random.randint(k4, (), 1, max(n_latent, 2))
     return [z1, z2], inject
 
 

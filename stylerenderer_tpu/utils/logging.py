@@ -51,7 +51,11 @@ class MetricsLogger:
             except (TypeError, ValueError):
                 continue
         line = (json.dumps({"step": int(step), **clean}) + "\n").encode()
-        os.write(self._fd, line)
+        # os.write may write short (signal interruption / full fs) — loop so a
+        # metrics row is never silently truncated; ENOSPC etc. raise
+        view = memoryview(line)
+        while view:
+            view = view[os.write(self._fd, view):]
         if self._tb is not None:
             for k, v in clean.items():
                 self._tb.add_scalar(k, v, step)
