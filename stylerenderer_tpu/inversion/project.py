@@ -47,6 +47,12 @@ class ProjectorConfig:
     w_pose: float = 1e-2
     w_reg_w: float = 0.0  # pull of w+ toward the mean latent
     noise_mode: str = "zero"  # 'zero' | 'random'
+    # global-norm clip on the geometry-group gradient: sliver triangles at
+    # production density can spike the vertex gradient by orders of
+    # magnitude for one iteration (the value/gradient magnitude itself is
+    # bounded by the rasterizer's coefficient clamp, rasterize.py); the
+    # clip keeps a single spike from derailing the Adam moments
+    geo_grad_clip: float = 100.0
 
 
 def _apply_pose(vert, rvec, tvec, log_scale):
@@ -113,10 +119,15 @@ def make_projector(
             "tvec": jnp.zeros((B, 3)),
             "log_scale": jnp.zeros((B, 1)),
         }
+        geo_tx = optax.adam(cfg.lr_geom)
+        if cfg.geo_grad_clip:
+            geo_tx = optax.chain(
+                optax.clip_by_global_norm(cfg.geo_grad_clip), geo_tx
+            )
         tx = optax.multi_transform(
             {
                 "lat": optax.adam(cfg.lr),
-                "geo": optax.adam(cfg.lr_geom),
+                "geo": geo_tx,
             },
             {"w": "lat", "x": "geo", "rvec": "geo", "tvec": "geo",
              "log_scale": "geo"},

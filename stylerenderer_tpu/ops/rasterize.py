@@ -130,6 +130,21 @@ def _eval_candidate(px, py, z, persp_ok, X, Y, h: int, w: int,
     s = r0 + r1 + r2
     s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
     cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
+    # Coefficient clamp: true barycentrics of a covered pixel lie in
+    # [-eps', 1+eps'], so the clamp is a no-op on every well-conditioned
+    # pixel — but for high-aspect sliver triangles at production coordinate
+    # scale, r and s are catastrophic cancellations (each term ~1e5 summing
+    # to ~det ~ 1e-6, f32 noise ~1e-2), and the unguarded ratio reaches
+    # ~1e18 with unbounded gradients — the round-2 production inversion NaN
+    # (geometry params die by iter ~16). The clamp bounds both the
+    # interpolated value and, through clip's zero-outside-gradient, the
+    # vertex gradient. The reference (rasterize.h:81-86) divides unguarded
+    # and has the same failure mode on CUDA; bounding it is part of this
+    # port's robustness contract, applied identically in every backend so
+    # winner maps stay bit-identical across them.
+    cn0 = jnp.clip(cn0, -1.0, 2.0)
+    cn1 = jnp.clip(cn1, -1.0, 2.0)
+    cn2 = jnp.clip(cn2, -1.0, 2.0)
 
     # --- degenerate fallback (rasterize.h:87-120)
     l0 = b0 * b0 + c0 * c0
@@ -159,8 +174,8 @@ def _eval_candidate(px, py, z, persp_ok, X, Y, h: int, w: int,
     lk = (X - px_j) * c_i - (Y - py_j) * b_i
     lsum = lj + lk
     lsum_safe = jnp.where(jnp.abs(lsum) > 1e-30, lsum, 1.0)
-    cj = lj / lsum_safe
-    ck = lk / lsum_safe
+    cj = jnp.clip(lj / lsum_safe, -1.0, 2.0)
+    ck = jnp.clip(lk / lsum_safe, -1.0, 2.0)
     seg_ok = (cj >= -eps) & (ck >= -eps)
 
     # point fallback

@@ -208,6 +208,12 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
     s = r0 + r1 + r2
     s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
     cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
+    # sliver-cancellation clamp, mirrored from rasterize._eval_candidate
+    # (see the comment there) — identical in every backend so winner maps
+    # stay bit-equal
+    cn0 = jnp.clip(cn0, -1.0, 2.0)
+    cn1 = jnp.clip(cn1, -1.0, 2.0)
+    cn2 = jnp.clip(cn2, -1.0, 2.0)
 
     if not full:
         # degenerate triangles were routed away at binning time
@@ -244,8 +250,8 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
     lk = (Xf - px_j) * c_i - (Yf - py_j) * b_i
     lsum = lj + lk
     lsum_safe = jnp.where(jnp.abs(lsum) > 1e-30, lsum, 1.0)
-    cj = lj / lsum_safe
-    ck = lk / lsum_safe
+    cj = jnp.clip(lj / lsum_safe, -1.0, 2.0)
+    ck = jnp.clip(lk / lsum_safe, -1.0, 2.0)
     seg_ok = (cj >= -eps) & (ck >= -eps)
     dpt = (Xf - px_i) ** 2 + (Yf - py_i) ** 2
     pt_ok = dpt < eps
@@ -285,6 +291,143 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
     else:
         depth = co0 * z0 + co1 * z1 + co2 * z2
     return depth, cov
+
+
+def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
+                    perspective, eps, full):
+    """One pyramid level: per-triangle setup on [1, CHUNK] rows (scalar
+    level scale), per-pixel math on [P_k, CHUNK]. Operation-for-operation
+    the same f32 expressions as ``_kernel_eval`` with a [P,1] ``inv`` —
+    identical inputs through identical op DAGs give identical results, so
+    winner maps stay bit-equal to the dense oracle; only the redundant
+    per-row replication of per-triangle values is removed."""
+    px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
+    py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
+    z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
+    invf = np.float32(inv)
+    sh = np.float32(invf * np.float32(0.5) - np.float32(0.5))
+    px0 = px0 * invf + sh
+    px1 = px1 * invf + sh
+    px2 = px2 * invf + sh
+    py0 = py0 * invf + sh
+    py1 = py1 * invf + sh
+    py2 = py2 * invf + sh
+
+    # ---- per-triangle [1, CHUNK] ----
+    a0 = px1 * py2 - py1 * px2
+    a1 = py0 * px2 - px0 * py2
+    a2 = px0 * py1 - py0 * px1
+    det = a0 + a1 + a2
+    front = det <= eps
+    sign = jnp.where(det < 0, -1.0, 1.0)
+    det_pos = det * sign
+    b0 = (py1 - py2) * sign
+    b1 = (py2 - py0) * sign
+    b2 = (py0 - py1) * sign
+    c0 = (px2 - px1) * sign
+    c1 = (px0 - px2) * sign
+    c2 = (px1 - px0) * sign
+    a0, a1, a2 = a0 * sign, a1 * sign, a2 * sign
+
+    umin = jnp.minimum(jnp.minimum(px0, px1), px2)
+    umax = jnp.maximum(jnp.maximum(px0, px1), px2)
+    vmin = jnp.minimum(jnp.minimum(py0, py1), py2)
+    vmax = jnp.maximum(jnp.maximum(py0, py1), py2)
+    x0 = jnp.maximum(jnp.ceil(umin), 0.0)
+    x1 = jnp.minimum(jnp.floor(umax), wl - 1.0)
+    y0 = jnp.maximum(jnp.ceil(vmin), 0.0)
+    y1 = jnp.minimum(jnp.floor(vmax), hl - 1.0)
+    bbox_ok = (x1 >= x0) & (y1 >= y0)
+    nondeg = det_pos > eps
+
+    # ---- per-pixel [P_k, CHUNK] ----
+    in_bbox = (Xf >= x0) & (Xf <= x1) & (Yf >= y0) & (Yf <= y1)
+    r0 = a0 + b0 * Xf + c0 * Yf
+    r1 = a1 + b1 * Xf + c1 * Yf
+    r2 = a2 + b2 * Xf + c2 * Yf
+    raw_ok = (r0 >= -eps) & (r1 >= -eps) & (r2 >= -eps)
+    s = r0 + r1 + r2
+    s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
+    cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
+    # sliver-cancellation clamp, mirrored from rasterize._eval_candidate
+    # (see the comment there) — identical in every backend so winner maps
+    # stay bit-equal
+    cn0 = jnp.clip(cn0, -1.0, 2.0)
+    cn1 = jnp.clip(cn1, -1.0, 2.0)
+    cn2 = jnp.clip(cn2, -1.0, 2.0)
+
+    if not full:
+        co0, co1, co2 = cn0, cn1, cn2
+        cov = front & bbox_ok & in_bbox & raw_ok & nondeg
+        return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
+                             eps)
+
+    # degenerate fallback: per-triangle picks on [1, CHUNK]
+    l0 = b0 * b0 + c0 * c0
+    l1 = b1 * b1 + c1 * c1
+    l2 = b2 * b2 + c2 * c2
+    m0 = (l0 > l1) & (l0 > l2)
+    m1 = jnp.logical_not(l0 > l1) & (l1 > l2)
+
+    def pick(i0, i1, i2):
+        return jnp.where(m0, i0, jnp.where(m1, i1, i2))
+
+    b_i = pick(b0, b1, b2)
+    c_i = pick(c0, c1, c2)
+    l_i = pick(l0, l1, l2)
+    px_i = pick(px0, px1, px2)
+    py_i = pick(py0, py1, py2)
+    px_j = pick(px1, px2, px0)
+    py_j = pick(py1, py2, py0)
+    px_k = pick(px2, px0, px1)
+    py_k = pick(py2, py0, py1)
+
+    seg = l_i > eps
+    lj = -(Xf - px_k) * c_i + (Yf - py_k) * b_i
+    lk = (Xf - px_j) * c_i - (Yf - py_j) * b_i
+    lsum = lj + lk
+    lsum_safe = jnp.where(jnp.abs(lsum) > 1e-30, lsum, 1.0)
+    cj = jnp.clip(lj / lsum_safe, -1.0, 2.0)
+    ck = jnp.clip(lk / lsum_safe, -1.0, 2.0)
+    seg_ok = (cj >= -eps) & (ck >= -eps)
+    dpt = (Xf - px_i) ** 2 + (Yf - py_i) ** 2
+    pt_ok = dpt < eps
+
+    zero = jnp.zeros_like(cj)
+    one = jnp.ones_like(cj)
+    seg0 = pick(zero, ck, cj)
+    seg1 = pick(cj, zero, ck)
+    seg2 = pick(ck, cj, zero)
+    pt0 = pick(one, zero, zero)
+    pt1 = pick(zero, one, zero)
+    pt2 = pick(zero, zero, one)
+    d0c = jnp.where(seg, seg0, pt0)
+    d1c = jnp.where(seg, seg1, pt1)
+    d2c = jnp.where(seg, seg2, pt2)
+    deg_ok = (seg & seg_ok) | (jnp.logical_not(seg) & pt_ok)
+
+    co0 = jnp.where(nondeg, cn0, d0c)
+    co1 = jnp.where(nondeg, cn1, d1c)
+    co2 = jnp.where(nondeg, cn2, d2c)
+    cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
+    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
+
+
+def _eval_levels(scr, blocks, Xf, Yf, perspective, eps, full):
+    """All pyramid levels of one chunk: per-level eval + sublane concat.
+    ``blocks`` is the static (offset, P_k, tl, wl, inv) list from
+    ``_multi_level_rows``; Xf/Yf are the full [P_pad, 1] row tables."""
+    depths, covs = [], []
+    for off, pk, _tl, wl, inv in blocks:
+        d, c = _eval_one_level(
+            scr, Xf[off:off + pk], Yf[off:off + pk],
+            float(wl), float(wl), inv, perspective, eps, full,
+        )
+        depths.append(d)
+        covs.append(c)
+    if len(depths) == 1:
+        return depths[0], covs[0]
+    return jnp.concatenate(depths, 0), jnp.concatenate(covs, 0)
 
 
 def _make_kernel(h, w, ntx, nty, perspective, eps, tile=TILE):
@@ -467,16 +610,32 @@ def _multi_level_rows(top: int, n_levels: int, tile: int, level0: int = 0):
     at ``level0`` (level k renders ``top >> (level0+k)`` px from coords
     stored at the ``top`` scale).
 
-    Returns (P_pad, offsets per level, inv [P,1], wl [P,1], hl [P,1],
-    xoff [P,1], yoff [P,1], tl [P,1]) as numpy f32 — row p of a tile handles
-    pixel (xoff, yoff) within that tile at level k(p)."""
+    EVERY level's row block is padded to a multiple of 8 sublanes so the
+    kernel can statically slice per-level blocks (Mosaic sublane slices must
+    be 8-aligned) — the kernel evaluates each level separately: all
+    per-TRIANGLE math runs once per level on ``[1, CHUNK]`` rows with the
+    level's scalar 2^-k coordinate scale, and only the truly per-PIXEL math
+    runs on ``[P_k, CHUNK]`` (an earlier revision rescaled coordinates on
+    the full ``[P, CHUNK]`` grid first, which replicated ~60 per-triangle
+    VPU ops across every pixel row — measured ~2.4x the whole z-scan).
+    Dead pad rows get xoff far outside any level's bbox clamp, so their
+    coverage is identically false.
+
+    Returns (P_pad, offsets per level, blocks, inv [P,1], wl [P,1],
+    hl [P,1], xoff [P,1], yoff [P,1], tl [P,1]) as numpy f32 — row p of a
+    tile handles pixel (xoff, yoff) within that tile at level k(p);
+    ``blocks[k] = (offset, padded rows, tl, wl, inv)`` mirrors the same
+    layout statically."""
     rows_inv, rows_w, rows_h, rows_x, rows_y, rows_t = [], [], [], [], [], []
     offsets = []
+    blocks = []
     p = 0
     for k in range(n_levels):
         tl = tile >> k
         wl = top >> (level0 + k)
         offsets.append(p)
+        pk = -(-(tl * tl) // 8) * 8
+        blocks.append((p, pk, tl, wl, 1.0 / (1 << (level0 + k))))
         for i in range(tl * tl):
             rows_inv.append(1.0 / (1 << (level0 + k)))
             rows_w.append(wl)
@@ -484,21 +643,20 @@ def _multi_level_rows(top: int, n_levels: int, tile: int, level0: int = 0):
             rows_x.append(i % tl)
             rows_y.append(i // tl)
             rows_t.append(tl)
-            p += 1
-    P = p
-    P_pad = -(-P // 8) * 8
-    for _ in range(P_pad - P):  # dead rows: never covered, sliced away
-        rows_inv.append(1.0)
-        rows_w.append(-1.0)  # w-1 = -2 -> bbox clamp kills coverage
-        rows_h.append(-1.0)
-        rows_x.append(0.0)
-        rows_y.append(0.0)
-        rows_t.append(0.0)
+        for _ in range(pk - tl * tl):  # per-level dead rows
+            rows_inv.append(1.0 / (1 << (level0 + k)))
+            rows_w.append(wl)
+            rows_h.append(wl)
+            rows_x.append(1.0e9)  # in_bbox (X <= x1 <= wl-1) always false
+            rows_y.append(1.0e9)
+            rows_t.append(tl)
+        p += pk
+    P_pad = p
 
     def col(a):
         return np.asarray(a, np.float32).reshape(P_pad, 1)
 
-    return (P_pad, offsets, col(rows_inv), col(rows_w), col(rows_h),
+    return (P_pad, offsets, blocks, col(rows_inv), col(rows_w), col(rows_h),
             col(rows_x), col(rows_y), col(rows_t))
 
 
@@ -681,9 +839,8 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
     whole mesh through ONE tile per batch, so it uses bigger chunks to
     amortize the scan-loop overhead)."""
     ntiles = ntx * nty
-    P_pad, _offsets, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
-        _multi_level_rows(top, n_levels, tile, level0)
-    )
+    (P_pad, _offsets, blocks, inv_np, wl_np, hl_np, xoff_np, yoff_np,
+     tl_np) = _multi_level_rows(top, n_levels, tile, level0)
 
     def kernel(starts_ref, rows_ref, dat_ref, win_ref, scr_ref, sem):
         b = pl.program_id(0)
@@ -691,9 +848,6 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
         ty = t // ntx
         tx = t % ntx
         rows = rows_ref[...]  # [P_pad, 8] static per-row tables
-        inv = rows[:, 0:1]
-        wl = rows[:, 1:2]
-        hl = rows[:, 2:3]
         tl = rows[:, 5:6]
         txf = jnp.full((P_pad, 1), tx, jnp.float32)
         tyf = jnp.full((P_pad, 1), ty, jnp.float32)
@@ -729,8 +883,8 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 dma(c, slot).wait()
                 scr = scr_ref[slot]
                 off = pl.multiple_of((c0 + c) * chunk, chunk)
-                depth, cov = _kernel_eval(scr, Xf, Yf, hl, wl, perspective,
-                                          eps, full, inv=inv)
+                depth, cov = _eval_levels(scr, blocks, Xf, Yf, perspective,
+                                          eps, full)
                 pos = off + lane
                 cov = cov & (pos >= start) & (pos < end)
                 ids = scr[9:10, :]
@@ -883,7 +1037,7 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
             top, n_lv, ntx_k, ntx_k, perspective, eps, tile_k,
             n_attr=n_attr, level0=level0, chunk=chunk,
         )
-        _, offs, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
+        _, offs, _blocks, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
             _multi_level_rows(top, n_lv, tile_k, level0)
         )
         rows = jnp.asarray(

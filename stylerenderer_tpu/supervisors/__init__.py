@@ -12,11 +12,18 @@ during GAR training (train.py:316-330):
 
 The reference imports these dynamically from git submodules (empty in the
 checkout) and silently skips the losses when missing; here they are faithful
-flax ports with torch-state-dict converters — load published weights for the
-trained behavior, or use them randomly-initialized as architecture-correct
-stand-ins in tests.
+flax ports with torch-state-dict converters (``convert.py``, validated
+against torch mirror modules in tests/test_supervisor_convert.py) —
+``make_extra_heads`` accepts a published .pth/.pth.tar path (or the raw
+state dict) per head and converts it at load; without weights the heads run
+fixed-seed random as architecture-correct stand-ins.
 """
 
+from stylerenderer_tpu.supervisors.convert import (
+    convert_face_normals,
+    convert_facenet,
+    convert_pfld,
+)
 from stylerenderer_tpu.supervisors.face_normals import ResNetUNet
 from stylerenderer_tpu.supervisors.landmark import PFLDInference
 from stylerenderer_tpu.supervisors.recognition import InceptionResnetV1
@@ -26,5 +33,8 @@ __all__ = [
     "InceptionResnetV1",
     "PFLDInference",
     "ResNetUNet",
+    "convert_face_normals",
+    "convert_facenet",
+    "convert_pfld",
     "make_extra_heads",
 ]

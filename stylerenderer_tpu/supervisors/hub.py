@@ -7,10 +7,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _maybe_convert(params, converter):
+    """A checkpoint path or a raw torch state dict (flat dot-separated keys)
+    is converted; an already-flax param pytree (nested dicts) or None passes
+    through."""
+    if isinstance(params, str):
+        return converter(params)
+    if hasattr(params, "keys") and any(
+            isinstance(k, str) and "." in k for k in params.keys()):
+        return converter(params)
+    return params
+
+
 def _make_sfs(rng, image_size, params):
+    from stylerenderer_tpu.supervisors.convert import convert_face_normals
     from stylerenderer_tpu.supervisors.face_normals import ResNetUNet
 
     net = ResNetUNet()
+    params = _maybe_convert(params, convert_face_normals)
     if params is None:
         params = net.init(rng, jnp.zeros((1, image_size, image_size, 3)))[
             "params"
@@ -24,10 +38,12 @@ def _make_sfs(rng, image_size, params):
 
 
 def _make_lmk(rng, params):
+    from stylerenderer_tpu.supervisors.convert import convert_pfld
     from stylerenderer_tpu.supervisors.landmark import PFLDInference
 
     net = PFLDInference()
     size = 112
+    params = _maybe_convert(params, convert_pfld)
     if params is None:
         params = net.init(rng, jnp.zeros((1, size, size, 3)))["params"]
 
@@ -39,10 +55,12 @@ def _make_lmk(rng, params):
 
 
 def _make_feat(rng, params):
+    from stylerenderer_tpu.supervisors.convert import convert_facenet
     from stylerenderer_tpu.supervisors.recognition import InceptionResnetV1
 
     net = InceptionResnetV1()
     size = 160
+    params = _maybe_convert(params, convert_facenet)
     if params is None:
         params = net.init(rng, jnp.zeros((1, size, size, 3)))["params"]
 
