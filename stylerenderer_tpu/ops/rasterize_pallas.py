@@ -144,34 +144,18 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
     return dat, starts
 
 
-def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True, inv=None):
-    """Candidate evaluation on [px, 128 tri] blocks; mirrors
-    rasterize._eval_candidate (same branches, same clamps).
+def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
+    """Candidate evaluation on [px, 128 tri] blocks for the SINGLE-level
+    kernel; mirrors rasterize._eval_candidate (same branches, same clamps).
+    The multi-level kernel evaluates per level via ``_eval_one_level``.
 
     ``full=False`` compiles out the degenerate segment/point fallback
     (~40% of the VPU ops): build_bins routes every |det| <= eps triangle
     to the XL tier, which is the only range scanned with ``full=True`` —
-    so each candidate still sees math identical to the dense oracle.
-
-    Multi-level mode (``inv`` a [P, 1] per-pixel-row level scale 2^-k, with
-    ``h``/``w`` [P, 1] per-row level sizes): triangle coords stored at the
-    TOP level are rescaled per row to that row's pyramid level,
-    ``px_l = (px + 0.5) * 2^-k - 0.5``. Scaling an f32 by a power of two is
-    exact, and rounding of ``a*b`` and ``a*(b/2^k)`` is mantissa-identical —
-    so every level's math is bit-equal to projecting at that level
-    directly (i.e. to the dense oracle at that resolution)."""
+    so each candidate still sees math identical to the dense oracle."""
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
     z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
-    if inv is not None:
-        half = np.float32(0.5)
-        sh = inv * half - half  # [P, 1]
-        px0 = px0 * inv + sh
-        px1 = px1 * inv + sh
-        px2 = px2 * inv + sh
-        py0 = py0 * inv + sh
-        py1 = py1 * inv + sh
-        py2 = py2 * inv + sh
 
     a0 = px1 * py2 - py1 * px2
     a1 = py0 * px2 - px0 * py2
@@ -296,11 +280,15 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
 def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
                     perspective, eps, full):
     """One pyramid level: per-triangle setup on [1, CHUNK] rows (scalar
-    level scale), per-pixel math on [P_k, CHUNK]. Operation-for-operation
-    the same f32 expressions as ``_kernel_eval`` with a [P,1] ``inv`` —
-    identical inputs through identical op DAGs give identical results, so
-    winner maps stay bit-equal to the dense oracle; only the redundant
-    per-row replication of per-triangle values is removed."""
+    level scale), per-pixel math on [P_k, CHUNK]. Identical f32 expressions
+    to the dense oracle at that level — coords stored at the TOP level are
+    rescaled ``px_l = (px + 0.5) * 2^-k - 0.5`` (power-of-two scaling is
+    f32-exact, and rounding of ``a*b`` vs ``a*(b/2^k)`` is
+    mantissa-identical), so winner maps stay bit-equal to projecting at the
+    level directly. Earlier revisions evaluated ALL levels on the full
+    [P, CHUNK] grid, which replicated ~60 per-triangle VPU ops per pixel
+    row; restructuring to per-level blocks removed that replication without
+    changing a single arithmetic result."""
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
     z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]

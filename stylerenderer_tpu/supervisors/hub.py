@@ -25,13 +25,25 @@ def _make_sfs(rng, image_size, params):
 
     net = ResNetUNet()
     params = _maybe_convert(params, convert_face_normals)
+    # the resnet18-UNet needs /32-divisible input (as does the published
+    # torch net — the reference only ever feeds 256px, train.py:319); for
+    # smaller test configs run at the next multiple of 32 and resize back
+    run_size = max(32, -(-image_size // 32) * 32)
     if params is None:
-        params = net.init(rng, jnp.zeros((1, image_size, image_size, 3)))[
+        params = net.init(rng, jnp.zeros((1, run_size, run_size, 3)))[
             "params"
         ]
 
-    def sfs_fn(img, net=net, params=params):
-        n, _ = net.apply({"params": params}, img)
+    def sfs_fn(img, net=net, params=params, run_size=run_size):
+        B = img.shape[0]
+        x = img
+        if img.shape[1] != run_size:
+            x = jax.image.resize(x, (B, run_size, run_size, 3), "bilinear")
+        n, _ = net.apply({"params": params}, x)
+        if img.shape[1] != run_size:
+            n = jax.image.resize(
+                n, (B, img.shape[1], img.shape[2], 3), "bilinear"
+            )
         return n
 
     return sfs_fn
