@@ -842,8 +842,9 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
         Xf = txf * tl + rows[:, 3:4]  # level-k pixel x of this tile's row p
         Yf = tyf * tl + rows[:, 4:5]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        tile_px = tile * (1 << level0)  # tile edge in TOP-level pixels
 
-        def scan_range(state, start, end, full):
+        def scan_range(state, start, end, full, prefilter=False):
             c0 = start // chunk
             nchunks = jnp.where(
                 end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
@@ -871,46 +872,80 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 dma(c, slot).wait()
                 scr = scr_ref[slot]
                 off = pl.multiple_of((c0 + c) * chunk, chunk)
-                depth, cov = _eval_levels(scr, blocks, Xf, Yf, perspective,
-                                          eps, full)
                 pos = off + lane
-                cov = cov & (pos >= start) & (pos < end)
-                ids = scr[9:10, :]
-                zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
-                zc = jnp.max(zm, axis=1, keepdims=True)
-                idc = jnp.min(
-                    jnp.where(cov & (zm == zc), ids, _BIG_ID),
-                    axis=1, keepdims=True,
+
+                def evaluate(st):
+                    zb, wb = st[0], st[1]
+                    depth, cov = _eval_levels(scr, blocks, Xf, Yf,
+                                              perspective, eps, full)
+                    cov = cov & (pos >= start) & (pos < end)
+                    ids = scr[9:10, :]
+                    zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
+                    zc = jnp.max(zm, axis=1, keepdims=True)
+                    idc = jnp.min(
+                        jnp.where(cov & (zm == zc), ids, _BIG_ID),
+                        axis=1, keepdims=True,
+                    )
+                    better = zc > zb
+                    equal = zc == zb
+                    new = list(st)
+                    if n_attr:
+                        # the chunk's winning lane (exactly the id the winner
+                        # update below picks) as a one-hot [P, CHUNK] mask —
+                        # ONE lane contraction with the whole scratch block
+                        # extracts that lane's full per-triangle row
+                        pickf = jnp.where(cov & (zm == zc) & (ids == idc),
+                                          1.0, 0.0)
+                        sel = better | (equal & (idc < wb))
+                        # HIGHEST precision: the MXU multiplies f32 via bf16
+                        # term splits; with the default 1-pass the extracted
+                        # coords carry ~2^-24-relative error, which the
+                        # coefficient recompute amplifies through the tiny
+                        # rescaled determinants of coarse levels (measured
+                        # 4.6e-2 value error at the 8px level on chip). The
+                        # full split is exact for a {0,1} mask operand.
+                        row = jax.lax.dot_general(
+                            pickf, scr, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [P, R]
+                        new[2] = jnp.where(sel, row, st[2])
+                    new[1] = jnp.where(
+                        better, idc, jnp.where(equal, jnp.minimum(wb, idc),
+                                               wb)
+                    )
+                    new[0] = jnp.maximum(zb, zc)
+                    return tuple(new)
+
+                if not prefilter:
+                    return evaluate(st)
+                # XL chunks are scanned by EVERY tile but a big triangle
+                # touches only the tiles its top-level float bbox overlaps:
+                # a dozen [1, CHUNK] ops + one reduce skip the whole
+                # [P_pad, CHUNK] eval when no lane's bbox reaches this tile
+                # (coverage at any level implies a pixel center inside the
+                # bbox, and every level's centers lie inside the tile's
+                # top-level pixel span — build_bins_multi docstring; +-1
+                # slack absorbs the boundary rounding)
+                pxmin = jnp.minimum(jnp.minimum(scr[0:1], scr[1:2]),
+                                    scr[2:3])
+                pxmax = jnp.maximum(jnp.maximum(scr[0:1], scr[1:2]),
+                                    scr[2:3])
+                pymin = jnp.minimum(jnp.minimum(scr[3:4], scr[4:5]),
+                                    scr[5:6])
+                pymax = jnp.maximum(jnp.maximum(scr[3:4], scr[4:5]),
+                                    scr[5:6])
+                tx0f = (tx * tile_px).astype(jnp.float32)
+                ty0f = (ty * tile_px).astype(jnp.float32)
+                touch = (
+                    (pxmax >= tx0f - 1.0) & (pxmin <= tx0f + tile_px)
+                    & (pymax >= ty0f - 1.0) & (pymin <= ty0f + tile_px)
+                    & (pos >= start) & (pos < end)
                 )
-                better = zc > zb
-                equal = zc == zb
-                new = list(st)
-                if n_attr:
-                    # the chunk's winning lane (exactly the id the winner
-                    # update below picks) as a one-hot [P, CHUNK] mask —
-                    # ONE lane contraction with the whole scratch block
-                    # extracts that lane's full per-triangle row
-                    pickf = jnp.where(cov & (zm == zc) & (ids == idc),
-                                      1.0, 0.0)
-                    sel = better | (equal & (idc < wb))
-                    # HIGHEST precision: the MXU multiplies f32 via bf16
-                    # term splits; with the default 1-pass the extracted
-                    # coords carry ~2^-24-relative error, which the
-                    # coefficient recompute amplifies through the tiny
-                    # rescaled determinants of coarse levels (measured
-                    # 4.6e-2 value error at the 8px level on chip). The
-                    # full split is exact for a {0,1} mask operand.
-                    row = jax.lax.dot_general(
-                        pickf, scr, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # [P, R]
-                    new[2] = jnp.where(sel, row, st[2])
-                new[1] = jnp.where(
-                    better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb)
-                )
-                new[0] = jnp.maximum(zb, zc)
-                return tuple(new)
+                any_touch = jnp.max(
+                    jnp.where(touch, 1.0, 0.0).astype(jnp.float32)
+                ) > 0.0
+                return jax.lax.cond(any_touch, evaluate, lambda s: s, st)
 
             return jax.lax.fori_loop(0, nchunks, body, state)
 
@@ -949,6 +984,9 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
             starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
             starts_ref[b, MULTI_N_TIERS * ntiles],
             full=True,
+            # the tail kernel's one tile covers the whole image — nothing
+            # to skip there
+            prefilter=ntiles > 1,
         )
         zb, wb = state[0], state[1]
         if n_attr:
