@@ -7,7 +7,13 @@ The LPIPS backbone is randomly initialized (published weights are not
 available offline — converter in eval/lpips.py); the FLOPs and memory
 traffic are identical to the pretrained net, so the wall clock is the same.
 
-python benchmarks/bench_inversion.py [iters]
+History: this bench went non-finite at production triangle density through
+round 2 (geometry params died by iter ~16). Root cause was sliver-winner
+coefficient cancellation; fixed by the [-1,2] clamp in
+rasterize._eval_candidate (+ geo-group grad clip in the projector) — see
+tests/test_inversion_stability.py. Finite since round 3.
+
+python benchmarks/bench_inversion.py [iters] [batch]
 """
 
 import sys, os

@@ -1006,13 +1006,13 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
 
 @functools.partial(
     jax.jit, static_argnames=("top", "n_levels", "perspective", "eps",
-                              "interpret")
+                              "interpret", "main_chunk")
 )
 def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
                                    perspective: bool = False,
                                    eps: float = 1e-6,
                                    interpret: bool = False,
-                                   attrs=None):
+                                   attrs=None, main_chunk: int = CHUNK):
     """Winner maps — or fused interpolated value maps — for the whole
     pyramid in one kernel pass.
 
@@ -1097,7 +1097,7 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
         )(starts_k, rows, dat)
         return win, offs
 
-    win, offsets = run(n_main, tile, ntx, 0, starts, CHUNK)
+    win, offsets = run(n_main, tile, ntx, 0, starts, main_chunk)
     if n_tail:
         # the tail's one tile must scan EVERY valid triangle: in sort order
         # they form one contiguous prefix [0, n_valid). A 6-entry starts
