@@ -897,18 +897,32 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                         pickf = jnp.where(cov & (zm == zc) & (ids == idc),
                                           1.0, 0.0)
                         sel = better | (equal & (idc < wb))
-                        # HIGHEST precision: the MXU multiplies f32 via bf16
-                        # term splits; with the default 1-pass the extracted
-                        # coords carry ~2^-24-relative error, which the
-                        # coefficient recompute amplifies through the tiny
-                        # rescaled determinants of coarse levels (measured
-                        # 4.6e-2 value error at the 8px level on chip). The
-                        # full split is exact for a {0,1} mask operand.
-                        row = jax.lax.dot_general(
-                            pickf, scr, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )  # [P, R]
+                        # EXACT extraction in 3 default-precision MXU passes
+                        # (vs 6 under Precision.HIGHEST, which splits BOTH
+
+                        # operands 3 ways): pickf is {0,1} — exactly
+                        # bf16-representable — so only the data operand
+                        # needs the 3-term bf16 split (hi+mid+lo == f32
+                        # exactly; each product is exact; pickf has at most
+                        # one nonzero per row, so no accumulation rounding).
+                        # A plain 1-pass default dot loses ~8 mantissa bits
+                        # on the coords, which the coefficient recompute
+                        # amplifies through the tiny rescaled determinants
+                        # of coarse levels (measured 4.6e-2 value error at
+                        # the 8px level on chip).
+                        s_hi = scr.astype(jnp.bfloat16).astype(jnp.float32)
+                        r1m = scr - s_hi
+                        s_mid = r1m.astype(jnp.bfloat16).astype(jnp.float32)
+                        s_lo = r1m - s_mid  # <= 8 significant bits: exact
+
+                        def lane_dot(m, d):
+                            return jax.lax.dot_general(
+                                m, d, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                        row = lane_dot(pickf, s_hi) + lane_dot(
+                            pickf, s_mid) + lane_dot(pickf, s_lo)  # [P, R]
                         new[2] = jnp.where(sel, row, st[2])
                     new[1] = jnp.where(
                         better, idc, jnp.where(equal, jnp.minimum(wb, idc),
