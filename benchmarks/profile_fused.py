@@ -42,8 +42,7 @@ def main(B=16, iters=10):
         _dispatch_winners, _interp_from_win, rasterize_pyramid_fused,
     )
     from stylerenderer_tpu.ops.rasterize_pallas import (
-        _dat_rows, _values_from_rows, build_bins_multi,
-        rasterize_winners_pallas_multi,
+        build_bins_multi, rasterize_winners_pallas_multi,
     )
 
     face, tri, vert, norm = production_face(B)
@@ -69,17 +68,8 @@ def main(B=16, iters=10):
 
     timed(bins_attr, vert, iters, "binning only (with attrs)")
 
-    # (d) values recompute alone from fixed rows
-    R = _dat_rows(3)
-    rows_fix = jax.random.normal(jax.random.PRNGKey(4), (B, 256, 256, R))
-    win_fix = jnp.zeros((B, 256, 256), jnp.int32)
-
-    def recompute(v):
-        rows = rows_fix + v[0, 0, 0]
-        return jnp.mean(_values_from_rows(rows, win_fix, 3, 0, 256, False,
-                                          1e-6))
-
-    timed(recompute, vert, iters, "values recompute alone (256)")
+    # (d) values recompute was removed: interpolation now happens in-kernel
+    # with the coefficients the depth computation already produces
 
     # (e) dense 4+8 winners + interp (the pyramid tail below the multi kernel)
     def tail48(v):

@@ -456,9 +456,15 @@ def _interp_from_win(v, tex_b, tri, win, h, w, perspective, eps, tbl=None):
     _, pts, gathered = _winner_gather(v, tex_b, tri, win, h, w, tbl=tbl)
     coeff = _coeff_from_pts(pts, h, w, perspective, eps)
     coeff = jnp.where(valid[..., None], coeff, 0.0)
-    return jnp.sum(
-        gathered * coeff[..., None].astype(gathered.dtype), axis=-2
-    ).astype(tex_b.dtype)
+    cf = coeff[..., None].astype(gathered.dtype)
+    # explicit (c0*a0 + c1*a1) + c2*a2 order — the Pallas multi kernel's
+    # in-loop interpolation uses the same association, keeping fused values
+    # bit-identical to this oracle (a jnp.sum over the corner axis leaves
+    # the reduction order to XLA)
+    out = (cf[..., 0, :] * gathered[..., 0, :]
+           + cf[..., 1, :] * gathered[..., 1, :]
+           + cf[..., 2, :] * gathered[..., 2, :])
+    return out.astype(tex_b.dtype)
 
 
 def _make_fused_levels(tri, top: int, covered, perspective: bool, eps: float):

@@ -204,7 +204,7 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
         co0, co1, co2 = cn0, cn1, cn2
         cov = front & bbox_ok & in_bbox & raw_ok & nondeg
         return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
-                             eps)
+                             eps)[:2]
 
     l0 = b0 * b0 + c0 * c0
     l1 = b1 * b1 + c1 * c1
@@ -260,10 +260,14 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
     co1 = jnp.where(nondeg, cn1, d1c)
     co2 = jnp.where(nondeg, cn2, d2c)
     cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
-    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
+    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
+                         eps)[:2]
 
 
 def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
+    """Depth + final interpolation coefficients (mirrors the tail of
+    ``rasterize._eval_candidate``: under perspective the coefficients are
+    the perspective-corrected ``q_i * depth``, rasterize.h:132-140)."""
     if perspective:
         # vertices with z >= -eps were pre-culled in _setup (persp_ok)
         z0s = jnp.where(z0 < -eps, z0, -1.0)
@@ -272,9 +276,12 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
         q0, q1, q2 = co0 / z0s, co1 / z1s, co2 / z2s
         depth = q0 + q1 + q2
         cov = cov & (depth < -eps)
+        co0 = q0 * depth
+        co1 = q1 * depth
+        co2 = q2 * depth
     else:
         depth = co0 * z0 + co1 * z1 + co2 * z2
-    return depth, cov
+    return depth, cov, co0, co1, co2
 
 
 def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
@@ -404,18 +411,22 @@ def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
 def _eval_levels(scr, blocks, Xf, Yf, perspective, eps, full):
     """All pyramid levels of one chunk: per-level eval + sublane concat.
     ``blocks`` is the static (offset, P_k, tl, wl, inv) list from
-    ``_multi_level_rows``; Xf/Yf are the full [P_pad, 1] row tables."""
-    depths, covs = [], []
+    ``_multi_level_rows``; Xf/Yf are the full [P_pad, 1] row tables.
+    Returns (depth, cov, co0, co1, co2) — the final interpolation
+    coefficients come for free from the depth computation, which is what
+    lets the multi kernel interpolate attribute values in-loop instead of
+    extracting winner rows."""
+    outs = [[], [], [], [], []]
     for off, pk, _tl, wl, inv in blocks:
-        d, c = _eval_one_level(
+        res = _eval_one_level(
             scr, Xf[off:off + pk], Yf[off:off + pk],
             float(wl), float(wl), inv, perspective, eps, full,
         )
-        depths.append(d)
-        covs.append(c)
-    if len(depths) == 1:
-        return depths[0], covs[0]
-    return jnp.concatenate(depths, 0), jnp.concatenate(covs, 0)
+        for acc, r in zip(outs, res):
+            acc.append(r)
+    if len(outs[0]) == 1:
+        return tuple(acc[0] for acc in outs)
+    return tuple(jnp.concatenate(acc, 0) for acc in outs)
 
 
 def _make_kernel(h, w, ntx, nty, perspective, eps, tile=TILE):
@@ -844,7 +855,9 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         tile_px = tile * (1 << level0)  # tile edge in TOP-level pixels
 
-        def scan_range(state, start, end, full, prefilter=False):
+        def scan_range(state, start, end, chunk_body, prefilter=False):
+            """Stream dat[start:end) in double-buffered chunks and fold
+            ``chunk_body(scr, pos, start, end, st)`` over them."""
             c0 = start // chunk
             nchunks = jnp.where(
                 end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
@@ -862,7 +875,6 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 dma(0, 0).start()
 
             def body(c, st):
-                zb, wb = st[0], st[1]
                 slot = jax.lax.rem(c, 2)
 
                 @pl.when(c + 1 < nchunks)
@@ -875,61 +887,7 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 pos = off + lane
 
                 def evaluate(st):
-                    zb, wb = st[0], st[1]
-                    depth, cov = _eval_levels(scr, blocks, Xf, Yf,
-                                              perspective, eps, full)
-                    cov = cov & (pos >= start) & (pos < end)
-                    ids = scr[9:10, :]
-                    zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
-                    zc = jnp.max(zm, axis=1, keepdims=True)
-                    idc = jnp.min(
-                        jnp.where(cov & (zm == zc), ids, _BIG_ID),
-                        axis=1, keepdims=True,
-                    )
-                    better = zc > zb
-                    equal = zc == zb
-                    new = list(st)
-                    if n_attr:
-                        # the chunk's winning lane (exactly the id the winner
-                        # update below picks) as a one-hot [P, CHUNK] mask —
-                        # ONE lane contraction with the whole scratch block
-                        # extracts that lane's full per-triangle row
-                        pickf = jnp.where(cov & (zm == zc) & (ids == idc),
-                                          1.0, 0.0)
-                        sel = better | (equal & (idc < wb))
-                        # EXACT extraction in 3 default-precision MXU passes
-                        # (vs 6 under Precision.HIGHEST, which splits BOTH
-
-                        # operands 3 ways): pickf is {0,1} — exactly
-                        # bf16-representable — so only the data operand
-                        # needs the 3-term bf16 split (hi+mid+lo == f32
-                        # exactly; each product is exact; pickf has at most
-                        # one nonzero per row, so no accumulation rounding).
-                        # A plain 1-pass default dot loses ~8 mantissa bits
-                        # on the coords, which the coefficient recompute
-                        # amplifies through the tiny rescaled determinants
-                        # of coarse levels (measured 4.6e-2 value error at
-                        # the 8px level on chip).
-                        s_hi = scr.astype(jnp.bfloat16).astype(jnp.float32)
-                        r1m = scr - s_hi
-                        s_mid = r1m.astype(jnp.bfloat16).astype(jnp.float32)
-                        s_lo = r1m - s_mid  # <= 8 significant bits: exact
-
-                        def lane_dot(m, d):
-                            return jax.lax.dot_general(
-                                m, d, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-
-                        row = lane_dot(pickf, s_hi) + lane_dot(
-                            pickf, s_mid) + lane_dot(pickf, s_lo)  # [P, R]
-                        new[2] = jnp.where(sel, row, st[2])
-                    new[1] = jnp.where(
-                        better, idc, jnp.where(equal, jnp.minimum(wb, idc),
-                                               wb)
-                    )
-                    new[0] = jnp.maximum(zb, zc)
-                    return tuple(new)
+                    return chunk_body(scr, pos, start, end, st)
 
                 if not prefilter:
                     return evaluate(st)
@@ -963,52 +921,111 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
 
             return jax.lax.fori_loop(0, nchunks, body, state)
 
-        n_rows = _dat_rows(n_attr)
+        def sweep(state, make_body):
+            """One pass over every segment this tile owns (span tiers + XL),
+            folding ``make_body(full_math)`` over each streamed chunk."""
+            for tier, span, full_math in MULTI_TIERS:
+                base = tier * ntiles
+                col_lo = jnp.maximum(tx - (span - 1), 0)
+
+                def run_tier(state, base=base, span=span, col_lo=col_lo,
+                             full_math=full_math):
+                    for dy in range(span):
+                        row = ty - dy
+                        row_ok = row >= 0
+                        row_safe = jnp.maximum(row, 0)
+                        seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
+                        seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
+                        seg_lo = jnp.where(row_ok, seg_lo, 0)
+                        seg_hi = jnp.where(row_ok, seg_hi, 0)
+                        state = scan_range(state, seg_lo, seg_hi,
+                                           make_body(full_math))
+                    return state
+
+                if tier == 0:
+                    state = run_tier(state)
+                else:
+                    # skip the whole tier when globally empty (one SMEM
+                    # compare beats `span` empty loop setups per tile; the
+                    # degenerate tiers are usually empty on clean meshes)
+                    tier_n = starts_ref[b, base + ntiles] - starts_ref[b,
+                                                                       base]
+                    state = jax.lax.cond(tier_n > 0, run_tier, lambda s: s,
+                                         state)
+            return scan_range(
+                state,
+                starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
+                starts_ref[b, MULTI_N_TIERS * ntiles],
+                make_body(True),
+                # the tail kernel's one tile covers the whole image — nothing
+                # to skip there
+                prefilter=ntiles > 1,
+            )
+
+        # one z-scan sweep; with attrs the winner's interpolated values are
+        # computed IN-LOOP: the interpolation coefficients are exactly the
+        # clamped barycentrics the depth computation already produced, so
+        # per-chunk interpolation costs 6 FMAs/channel on [P, CHUNK] plus
+        # one exact one-hot lane reduction per channel — the earlier
+        # winner-ROW extraction (3-pass exact-split MXU contraction per
+        # chunk, then an out-of-kernel coefficient recompute) measured
+        # ~20 ms of the B=16 pyramid and is gone entirely.
+        def eval_body(full):
+            def body_fn(scr, pos, start, end, st):
+                zb, wb = st[0], st[1]
+                depth, cov, co0, co1, co2 = _eval_levels(
+                    scr, blocks, Xf, Yf, perspective, eps, full)
+                cov = cov & (pos >= start) & (pos < end)
+                ids = scr[9:10, :]
+                zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
+                zc = jnp.max(zm, axis=1, keepdims=True)
+                idc = jnp.min(
+                    jnp.where(cov & (zm == zc), ids, _BIG_ID),
+                    axis=1, keepdims=True,
+                )
+                better = zc > zb
+                equal = zc == zb
+                new = list(st)
+                if n_attr:
+                    sel = better | (equal & (idc < wb))
+                    # exactly one lane matches (idc is the unique min id at
+                    # max depth), so the masked lane sum IS the winner's
+                    # value — exact, no rounding. The interpolation
+                    # expression (co0*A0 + co1*A1) + co2*A2 mirrors the
+                    # dense oracle's `_interp_from_win` order bit-for-bit.
+                    pick = cov & (zm == zc) & (ids == idc)
+                    cols = []
+                    for c in range(n_attr):
+                        a0 = scr[10 + c:11 + c, :]
+                        a1 = scr[10 + n_attr + c:11 + n_attr + c, :]
+                        a2 = scr[10 + 2 * n_attr + c:11 + 2 * n_attr + c, :]
+                        valc = co0 * a0 + co1 * a1 + co2 * a2
+                        cols.append(jnp.sum(
+                            jnp.where(pick, valc, 0.0),
+                            axis=1, keepdims=True,
+                        ))
+                    vals_c = jnp.concatenate(cols, axis=1)  # [P_pad, C]
+                    new[2] = jnp.where(sel, vals_c, st[2])
+                new[1] = jnp.where(
+                    better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb))
+                new[0] = jnp.maximum(zb, zc)
+                return tuple(new)
+
+            return body_fn
+
         state = (
             jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
             jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
-        ) + ((jnp.zeros((P_pad, n_rows), jnp.float32),) if n_attr else ())
-        for tier, span, full_math in MULTI_TIERS:
-            base = tier * ntiles
-            col_lo = jnp.maximum(tx - (span - 1), 0)
-
-            def run_tier(state, base=base, span=span, col_lo=col_lo,
-                         full_math=full_math):
-                for dy in range(span):
-                    row = ty - dy
-                    row_ok = row >= 0
-                    row_safe = jnp.maximum(row, 0)
-                    seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
-                    seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
-                    seg_lo = jnp.where(row_ok, seg_lo, 0)
-                    seg_hi = jnp.where(row_ok, seg_hi, 0)
-                    state = scan_range(state, seg_lo, seg_hi, full=full_math)
-                return state
-
-            if tier == 0:
-                state = run_tier(state)
-            else:
-                # skip the whole tier when globally empty (one SMEM compare
-                # beats `span` empty loop setups per tile; the degenerate
-                # tiers are usually empty on clean meshes)
-                tier_n = starts_ref[b, base + ntiles] - starts_ref[b, base]
-                state = jax.lax.cond(tier_n > 0, run_tier, lambda s: s, state)
-        state = scan_range(
-            state,
-            starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
-            starts_ref[b, MULTI_N_TIERS * ntiles],
-            full=True,
-            # the tail kernel's one tile covers the whole image — nothing
-            # to skip there
-            prefilter=ntiles > 1,
-        )
+        ) + ((jnp.zeros((P_pad, n_attr), jnp.float32),) if n_attr else ())
+        state = sweep(state, eval_body)
         zb, wb = state[0], state[1]
+
         if n_attr:
-            # cols 0..R-1: the winner's extracted data row (0 background);
-            # col R: winner id (-1 background) — ids < 2^24 exact in f32
+            # cols 0..C-1: interpolated values (0 background); col C:
+            # winner id (-1 background) — ids < 2^24 exact in f32
             vals = jnp.concatenate([state[2], wb], axis=1)
             bg = jnp.concatenate(
-                [jnp.zeros((P_pad, n_rows), jnp.float32),
+                [jnp.zeros((P_pad, n_attr), jnp.float32),
                  jnp.full((P_pad, 1), -1.0, jnp.float32)], axis=1)
             win_ref[0, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
         else:
@@ -1067,7 +1084,7 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
     n_main = min(n_levels, max_main)
     n_tail = n_levels - n_main
     n_rows = _dat_rows(n_attr)
-    out_ch = n_rows + 1 if n_attr else 1
+    out_ch = n_attr + 1 if n_attr else 1
 
     dat, starts = build_bins_multi(v, tri, top, n_levels, perspective, eps,
                                    tile, attrs=attrs)
@@ -1137,39 +1154,8 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
             w_k = win_t[:, 0, offsets_t[kt]:offsets_t[kt] + sl * sl, :]
             w_k = w_k.reshape(B, sl, sl, out_ch)
         if n_attr:
-            win_k = w_k[..., n_rows].astype(jnp.int32)
-            vals = _values_from_rows(
-                w_k[..., :n_rows], win_k, n_attr, k, sl, perspective, eps
-            )
-            outs.append((vals, win_k))
+            win_k = w_k[..., n_attr].astype(jnp.int32)
+            outs.append((w_k[..., :n_attr], win_k))
         else:
             outs.append(w_k[..., 0])
     return outs
-
-
-def _values_from_rows(rows, win, n_attr, k, s, perspective, eps):
-    """Interpolated values ``[B, s, s, C]`` from the kernel's extracted
-    winner rows: scale the winner's top-level corner coords to level ``k``
-    (exactly the kernel's ``px*2^-k + (2^-k-1)/2`` transform — power-of-two
-    scaling is f32-exact) and recompute the interpolation coefficients with
-    the dense-path formulas on dense per-pixel shapes. No gather anywhere:
-    this replaces both the in-scan interpolation (measured ~2.6x the winner
-    search) and the per-pixel row gather (~2 GB/s on this chip)."""
-    from stylerenderer_tpu.ops.rasterize import _eval_candidate
-
-    inv = np.float32(1.0 / (1 << k))
-    sh = inv * np.float32(0.5) - np.float32(0.5)
-    px = rows[..., 0:3] * inv + sh
-    py = rows[..., 3:6] * inv + sh
-    z = rows[..., 6:9]
-    X = jax.lax.broadcasted_iota(jnp.float32, (1, s, s), 2)
-    Y = jax.lax.broadcasted_iota(jnp.float32, (1, s, s), 1)
-    persp_ok = jnp.ones(px.shape[:-1], bool)  # invalid tris never binned
-    coeff, _, _ = _eval_candidate(
-        px, py, z, persp_ok, X, Y, s, s, perspective, eps
-    )
-    attrs = rows[..., 10:10 + 3 * n_attr].reshape(
-        rows.shape[:-1] + (3, n_attr)
-    )
-    vals = jnp.sum(coeff[..., None] * attrs, axis=-2)
-    return jnp.where((win >= 0)[..., None], vals, 0.0)
