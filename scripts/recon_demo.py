@@ -75,7 +75,7 @@ def main(argv=None):
         return jnp.stack([px, py], -1)
 
     @jax.jit
-    def make_targets(rng, B):
+    def make_targets(rng, B=args.batch):
         ks = jax.random.split(rng, 5)
         z = jax.random.normal(ks[0], (B, cfg.latent))
         x = face.random_input(ks[1], B)
@@ -102,7 +102,7 @@ def main(argv=None):
     n_batches = -(-args.faces // args.batch)
     for bi in range(n_batches):
         rng, k1, k2 = jax.random.split(rng, 3)
-        target, vert_gt = make_targets(k1, args.batch)
+        target, vert_gt = make_targets(k1)
         target_lmk = project_lmk(vert_gt)
         np.asarray(target).ravel()[:1]  # sync (readback; see benchmarks)
         t0 = time.time()
