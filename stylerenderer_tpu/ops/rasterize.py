@@ -129,7 +129,12 @@ def _eval_candidate(px, py, z, persp_ok, X, Y, h: int, w: int,
     # --- non-degenerate: normalize by the coefficient sum (rasterize.h:81-86)
     s = r0 + r1 + r2
     s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
-    cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
+    # ONE reciprocal + 3 multiplies instead of 3 divides — the same change
+    # is applied in every backend (pallas _kernel_eval/_eval_one_level) so
+    # winner maps and values stay bit-identical across them; divides are
+    # the most expensive VPU op in the z-scan's per-pixel candidate math
+    s_inv = 1.0 / s_safe
+    cn0, cn1, cn2 = r0 * s_inv, r1 * s_inv, r2 * s_inv
     # Coefficient clamp: true barycentrics of a covered pixel lie in
     # [-eps', 1+eps'], so the clamp is a no-op on every well-conditioned
     # pixel — but for high-aspect sliver triangles at production coordinate
@@ -202,7 +207,11 @@ def _eval_candidate(px, py, z, persp_ok, X, Y, h: int, w: int,
         z0s = jnp.where(z0 < -eps, z0, -1.0)
         z1s = jnp.where(z1 < -eps, z1, -1.0)
         z2s = jnp.where(z2 < -eps, z2, -1.0)
-        q0, q1, q2 = co0 / z0s, co1 / z1s, co2 / z2s
+        # reciprocal on the per-triangle z, multiply per-pixel (lockstep
+        # with the pallas _kernel_depth — see s_inv note above)
+        q0 = co0 * (1.0 / z0s)
+        q1 = co1 * (1.0 / z1s)
+        q2 = co2 * (1.0 / z2s)
         depth = q0 + q1 + q2
         cov = cov & (depth < -eps)
         co0 = q0 * depth

@@ -191,7 +191,9 @@ def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
     nondeg = det_pos > eps
     s = r0 + r1 + r2
     s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
-    cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
+    # one reciprocal + 3 muls, lockstep with rasterize._eval_candidate
+    s_inv = 1.0 / s_safe
+    cn0, cn1, cn2 = r0 * s_inv, r1 * s_inv, r2 * s_inv
     # sliver-cancellation clamp, mirrored from rasterize._eval_candidate
     # (see the comment there) — identical in every backend so winner maps
     # stay bit-equal
@@ -273,7 +275,11 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
         z0s = jnp.where(z0 < -eps, z0, -1.0)
         z1s = jnp.where(z1 < -eps, z1, -1.0)
         z2s = jnp.where(z2 < -eps, z2, -1.0)
-        q0, q1, q2 = co0 / z0s, co1 / z1s, co2 / z2s
+        # reciprocal on the [1, CHUNK] per-triangle z rows, multiply on the
+        # [P, CHUNK] pixels (lockstep with rasterize._eval_candidate)
+        q0 = co0 * (1.0 / z0s)
+        q1 = co1 * (1.0 / z1s)
+        q2 = co2 * (1.0 / z2s)
         depth = q0 + q1 + q2
         cov = cov & (depth < -eps)
         co0 = q0 * depth
@@ -284,18 +290,16 @@ def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
     return depth, cov, co0, co1, co2
 
 
-def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
-                    perspective, eps, full):
-    """One pyramid level: per-triangle setup on [1, CHUNK] rows (scalar
-    level scale), per-pixel math on [P_k, CHUNK]. Identical f32 expressions
-    to the dense oracle at that level — coords stored at the TOP level are
-    rescaled ``px_l = (px + 0.5) * 2^-k - 0.5`` (power-of-two scaling is
-    f32-exact, and rounding of ``a*b`` vs ``a*(b/2^k)`` is
-    mantissa-identical), so winner maps stay bit-equal to projecting at the
-    level directly. Earlier revisions evaluated ALL levels on the full
-    [P, CHUNK] grid, which replicated ~60 per-triangle VPU ops per pixel
-    row; restructuring to per-level blocks removed that replication without
-    changing a single arithmetic result."""
+def _level_setup(scr, wl: float, hl: float, inv: float, eps, full):
+    """Per-TRIANGLE setup of one pyramid level on [1, CHUNK] rows (scalar
+    level scale). Identical f32 expressions to the dense oracle at that
+    level — coords stored at the TOP level are rescaled
+    ``px_l = (px + 0.5) * 2^-k - 0.5`` (power-of-two scaling is f32-exact,
+    and rounding of ``a*b`` vs ``a*(b/2^k)`` is mantissa-identical), so
+    winner maps stay bit-equal to projecting at the level directly.
+    Setup is split from the per-pixel math (``_level_pixels``) so it runs
+    exactly once per (chunk, level) regardless of how the pixel rows are
+    blocked."""
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
     z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
@@ -308,7 +312,6 @@ def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
     py1 = py1 * invf + sh
     py2 = py2 * invf + sh
 
-    # ---- per-triangle [1, CHUNK] ----
     a0 = px1 * py2 - py1 * px2
     a1 = py0 * px2 - px0 * py2
     a2 = px0 * py1 - py0 * px1
@@ -334,28 +337,12 @@ def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
     y1 = jnp.minimum(jnp.floor(vmax), hl - 1.0)
     bbox_ok = (x1 >= x0) & (y1 >= y0)
     nondeg = det_pos > eps
-
-    # ---- per-pixel [P_k, CHUNK] ----
-    in_bbox = (Xf >= x0) & (Xf <= x1) & (Yf >= y0) & (Yf <= y1)
-    r0 = a0 + b0 * Xf + c0 * Yf
-    r1 = a1 + b1 * Xf + c1 * Yf
-    r2 = a2 + b2 * Xf + c2 * Yf
-    raw_ok = (r0 >= -eps) & (r1 >= -eps) & (r2 >= -eps)
-    s = r0 + r1 + r2
-    s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
-    cn0, cn1, cn2 = r0 / s_safe, r1 / s_safe, r2 / s_safe
-    # sliver-cancellation clamp, mirrored from rasterize._eval_candidate
-    # (see the comment there) — identical in every backend so winner maps
-    # stay bit-equal
-    cn0 = jnp.clip(cn0, -1.0, 2.0)
-    cn1 = jnp.clip(cn1, -1.0, 2.0)
-    cn2 = jnp.clip(cn2, -1.0, 2.0)
-
+    base = dict(a0=a0, a1=a1, a2=a2, b0=b0, b1=b1, b2=b2,
+                c0=c0, c1=c1, c2=c2, z0=z0, z1=z1, z2=z2,
+                x0=x0, x1=x1, y0=y0, y1=y1,
+                front=front, bbox_ok=bbox_ok, nondeg=nondeg)
     if not full:
-        co0, co1, co2 = cn0, cn1, cn2
-        cov = front & bbox_ok & in_bbox & raw_ok & nondeg
-        return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
-                             eps)
+        return base
 
     # degenerate fallback: per-triangle picks on [1, CHUNK]
     l0 = b0 * b0 + c0 * c0
@@ -367,25 +354,63 @@ def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
     def pick(i0, i1, i2):
         return jnp.where(m0, i0, jnp.where(m1, i1, i2))
 
-    b_i = pick(b0, b1, b2)
-    c_i = pick(c0, c1, c2)
-    l_i = pick(l0, l1, l2)
-    px_i = pick(px0, px1, px2)
-    py_i = pick(py0, py1, py2)
-    px_j = pick(px1, px2, px0)
-    py_j = pick(py1, py2, py0)
-    px_k = pick(px2, px0, px1)
-    py_k = pick(py2, py0, py1)
+    base.update(
+        m0=m0, m1=m1,
+        b_i=pick(b0, b1, b2), c_i=pick(c0, c1, c2),
+        seg=pick(l0, l1, l2) > eps,
+        px_i=pick(px0, px1, px2), py_i=pick(py0, py1, py2),
+        px_j=pick(px1, px2, px0), py_j=pick(py1, py2, py0),
+        px_k=pick(px2, px0, px1), py_k=pick(py2, py0, py1),
+    )
+    return base
 
-    seg = l_i > eps
-    lj = -(Xf - px_k) * c_i + (Yf - py_k) * b_i
-    lk = (Xf - px_j) * c_i - (Yf - py_j) * b_i
+
+def _level_pixels(S, Xf, Yf, perspective, eps, full):
+    """Per-PIXEL candidate math of one level's row group ``[rows, CHUNK]``
+    against the setup ``S`` from ``_level_setup``. Returns
+    (depth, cov, co0, co1, co2) — the final interpolation coefficients come
+    for free from the depth computation, which is what lets the multi
+    kernel interpolate attribute values in-loop instead of extracting
+    winner rows."""
+    in_bbox = ((Xf >= S["x0"]) & (Xf <= S["x1"])
+               & (Yf >= S["y0"]) & (Yf <= S["y1"]))
+    r0 = S["a0"] + S["b0"] * Xf + S["c0"] * Yf
+    r1 = S["a1"] + S["b1"] * Xf + S["c1"] * Yf
+    r2 = S["a2"] + S["b2"] * Xf + S["c2"] * Yf
+    raw_ok = (r0 >= -eps) & (r1 >= -eps) & (r2 >= -eps)
+    s = r0 + r1 + r2
+    s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
+    # one reciprocal + 3 muls, lockstep with rasterize._eval_candidate
+    s_inv = 1.0 / s_safe
+    cn0, cn1, cn2 = r0 * s_inv, r1 * s_inv, r2 * s_inv
+    # sliver-cancellation clamp, mirrored from rasterize._eval_candidate
+    # (see the comment there) — identical in every backend so winner maps
+    # stay bit-equal
+    cn0 = jnp.clip(cn0, -1.0, 2.0)
+    cn1 = jnp.clip(cn1, -1.0, 2.0)
+    cn2 = jnp.clip(cn2, -1.0, 2.0)
+    nondeg = S["nondeg"]
+    z0, z1, z2 = S["z0"], S["z1"], S["z2"]
+
+    if not full:
+        cov = S["front"] & S["bbox_ok"] & in_bbox & raw_ok & nondeg
+        return _kernel_depth(cn0, cn1, cn2, z0, z1, z2, cov, perspective,
+                             eps)
+
+    m0, m1 = S["m0"], S["m1"]
+
+    def pick(i0, i1, i2):
+        return jnp.where(m0, i0, jnp.where(m1, i1, i2))
+
+    seg = S["seg"]
+    lj = -(Xf - S["px_k"]) * S["c_i"] + (Yf - S["py_k"]) * S["b_i"]
+    lk = (Xf - S["px_j"]) * S["c_i"] - (Yf - S["py_j"]) * S["b_i"]
     lsum = lj + lk
     lsum_safe = jnp.where(jnp.abs(lsum) > 1e-30, lsum, 1.0)
     cj = jnp.clip(lj / lsum_safe, -1.0, 2.0)
     ck = jnp.clip(lk / lsum_safe, -1.0, 2.0)
     seg_ok = (cj >= -eps) & (ck >= -eps)
-    dpt = (Xf - px_i) ** 2 + (Yf - py_i) ** 2
+    dpt = (Xf - S["px_i"]) ** 2 + (Yf - S["py_i"]) ** 2
     pt_ok = dpt < eps
 
     zero = jnp.zeros_like(cj)
@@ -404,24 +429,34 @@ def _eval_one_level(scr, Xf, Yf, wl: float, hl: float, inv: float,
     co0 = jnp.where(nondeg, cn0, d0c)
     co1 = jnp.where(nondeg, cn1, d1c)
     co2 = jnp.where(nondeg, cn2, d2c)
-    cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
+    cov = (S["front"] & S["bbox_ok"] & in_bbox & raw_ok
+           & (nondeg | deg_ok))
     return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps)
 
 
 def _eval_levels(scr, blocks, Xf, Yf, perspective, eps, full):
-    """All pyramid levels of one chunk: per-level eval + sublane concat.
-    ``blocks`` is the static (offset, P_k, tl, wl, inv) list from
-    ``_multi_level_rows``; Xf/Yf are the full [P_pad, 1] row tables.
-    Returns (depth, cov, co0, co1, co2) — the final interpolation
-    coefficients come for free from the depth computation, which is what
-    lets the multi kernel interpolate attribute values in-loop instead of
-    extracting winner rows."""
+    """All pyramid levels of one chunk: per-level setup + per-pixel eval,
+    then ONE sublane concat so the winner update runs on the full
+    ``[P_pad, CHUNK]`` block. ``blocks`` is the static
+    (offset, P_k, tl, wl, inv) list from ``_multi_level_rows``; Xf/Yf are
+    the full [P_pad, 1] row tables. Returns (depth, cov, co0, co1, co2) —
+    the final interpolation coefficients come for free from the depth
+    computation, which is what lets the multi kernel interpolate attribute
+    values in-loop instead of extracting winner rows.
+
+    Negative results (measured on chip, B=16 production mesh, attr
+    pipeline, kept here so they are not retried): splitting the update
+    into per-(level, y-group) blocks with a per-chunk ``lax.cond`` skip of
+    y-groups no candidate bbox reaches measured 89.7 ms vs this
+    structure's 58.0 — each cond forces the carried winner state through
+    VMEM; even WITHOUT the conds the 9 small per-group winner updates
+    measured 78.5 ms — Mosaic runs one wide concatenated update stream
+    far better than many narrow ones."""
     outs = [[], [], [], [], []]
-    for off, pk, _tl, wl, inv in blocks:
-        res = _eval_one_level(
-            scr, Xf[off:off + pk], Yf[off:off + pk],
-            float(wl), float(wl), inv, perspective, eps, full,
-        )
+    for off, pk, tl, wl, inv in blocks:
+        S = _level_setup(scr, float(wl), float(wl), inv, eps, full)
+        res = _level_pixels(S, Xf[off:off + pk], Yf[off:off + pk],
+                            perspective, eps, full)
         for acc, r in zip(outs, res):
             acc.append(r)
     if len(outs[0]) == 1:
