@@ -1072,13 +1072,14 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
 
 @functools.partial(
     jax.jit, static_argnames=("top", "n_levels", "perspective", "eps",
-                              "interpret", "main_chunk")
+                              "interpret", "main_chunk", "tile")
 )
 def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
                                    perspective: bool = False,
                                    eps: float = 1e-6,
                                    interpret: bool = False,
-                                   attrs=None, main_chunk: int = CHUNK):
+                                   attrs=None, main_chunk: int = CHUNK,
+                                   tile: int | None = None):
     """Winner maps — or fused interpolated value maps — for the whole
     pyramid in one kernel pass.
 
@@ -1101,7 +1102,12 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
     stream per batch with big DMA chunks, replacing the dense per-level
     search (which at these sizes is HBM-bound on [nf, s*s] intermediates).
     """
-    tile = 16 if top <= 256 else 32
+    if tile is None:
+        # tile 16 keeps the top-level row block at 256 sublanes; big
+        # images use 32 so the grid stays <= 32x32 tiles (the per-tile
+        # fixed cost — see benchmarks/profile_overhead.py — would
+        # otherwise dominate). Overridable for tests/experiments.
+        tile = 16 if top <= 256 else 32
     assert top % tile == 0, (top, tile)
     assert (top >> (n_levels - 1)) >= 1, "level below 1 px"
     v = lax.stop_gradient(v).astype(jnp.float32)

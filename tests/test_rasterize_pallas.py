@@ -314,3 +314,30 @@ def test_rasterize_pyramid_fused_matches():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gn_a), np.asarray(gn_b),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_multi_level_tile32():
+    """The big-image tile-32 machinery (auto-selected at top > 256, where
+    interpret mode would be too slow to test) exercised at top=64 via the
+    tile override: 6 in-kernel level blocks (32..1 px/tile), a 2x2 grid,
+    and the span tiers at tile-32 granularity — every level bit-equal to
+    the dense oracle, winner AND fused-value mode."""
+    rng = np.random.RandomState(7)
+    nv, nf, B, top = 60, 200, 2, 64
+    v = jnp.asarray(rng.randn(B, nv, 3).astype(np.float32) * 0.7)
+    tri = jnp.asarray(rng.randint(0, nv, (nf, 3)).astype(np.int32))
+    outs = rp.rasterize_winners_pallas_multi(v, tri, top, 5, tile=32)
+    for k, win in enumerate(outs):
+        s = top >> k
+        dense = np.asarray(rasterize_winners(v, tri, s, s))
+        np.testing.assert_array_equal(dense, np.asarray(win),
+                                      err_msg=f"tile32 level {k}")
+    attrs = jnp.asarray(rng.randn(B, nv, 3).astype(np.float32))
+    fused = rp.rasterize_winners_pallas_multi(v, tri, top, 5, attrs=attrs,
+                                              tile=32)
+    ref = rp.rasterize_winners_pallas_multi(v, tri, top, 5, attrs=attrs)
+    for k, ((va, wa), (vb, wb)) in enumerate(zip(fused, ref)):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb),
+                                      err_msg=f"tile32 fused win {k}")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=f"tile32 fused val {k}")
