@@ -146,124 +146,17 @@ def build_bins(v, tri, h: int, w: int, perspective: bool, eps: float,
 
 def _kernel_eval(scr, Xf, Yf, h, w, perspective, eps, full=True):
     """Candidate evaluation on [px, 128 tri] blocks for the SINGLE-level
-    kernel; mirrors rasterize._eval_candidate (same branches, same clamps).
-    The multi-level kernel evaluates per level via ``_eval_one_level``.
+    kernel; mirrors rasterize._eval_candidate (same branches, same clamps)
+    through the shared ``_level_setup``/``_level_pixels`` helpers (the
+    multi-level kernel uses the same pair per level, so every kernel
+    shares ONE copy of the candidate math).
 
     ``full=False`` compiles out the degenerate segment/point fallback
     (~40% of the VPU ops): build_bins routes every |det| <= eps triangle
     to the XL tier, which is the only range scanned with ``full=True`` —
     so each candidate still sees math identical to the dense oracle."""
-    px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
-    py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
-    z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
-
-    a0 = px1 * py2 - py1 * px2
-    a1 = py0 * px2 - px0 * py2
-    a2 = px0 * py1 - py0 * px1
-    det = a0 + a1 + a2
-    front = det <= eps
-    sign = jnp.where(det < 0, -1.0, 1.0)
-    det_pos = det * sign
-    b0 = (py1 - py2) * sign
-    b1 = (py2 - py0) * sign
-    b2 = (py0 - py1) * sign
-    c0 = (px2 - px1) * sign
-    c1 = (px0 - px2) * sign
-    c2 = (px1 - px0) * sign
-    a0, a1, a2 = a0 * sign, a1 * sign, a2 * sign
-
-    umin = jnp.minimum(jnp.minimum(px0, px1), px2)
-    umax = jnp.maximum(jnp.maximum(px0, px1), px2)
-    vmin = jnp.minimum(jnp.minimum(py0, py1), py2)
-    vmax = jnp.maximum(jnp.maximum(py0, py1), py2)
-    x0 = jnp.maximum(jnp.ceil(umin), 0.0)
-    x1 = jnp.minimum(jnp.floor(umax), w - 1.0)
-    y0 = jnp.maximum(jnp.ceil(vmin), 0.0)
-    y1 = jnp.minimum(jnp.floor(vmax), h - 1.0)
-    bbox_ok = (x1 >= x0) & (y1 >= y0)
-    in_bbox = (Xf >= x0) & (Xf <= x1) & (Yf >= y0) & (Yf <= y1)
-
-    r0 = a0 + b0 * Xf + c0 * Yf
-    r1 = a1 + b1 * Xf + c1 * Yf
-    r2 = a2 + b2 * Xf + c2 * Yf
-    raw_ok = (r0 >= -eps) & (r1 >= -eps) & (r2 >= -eps)
-
-    nondeg = det_pos > eps
-    s = r0 + r1 + r2
-    s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
-    # one reciprocal + 3 muls, lockstep with rasterize._eval_candidate
-    s_inv = 1.0 / s_safe
-    cn0, cn1, cn2 = r0 * s_inv, r1 * s_inv, r2 * s_inv
-    # sliver-cancellation clamp, mirrored from rasterize._eval_candidate
-    # (see the comment there) — identical in every backend so winner maps
-    # stay bit-equal
-    cn0 = jnp.clip(cn0, -1.0, 2.0)
-    cn1 = jnp.clip(cn1, -1.0, 2.0)
-    cn2 = jnp.clip(cn2, -1.0, 2.0)
-
-    if not full:
-        # degenerate triangles were routed away at binning time
-        co0, co1, co2 = cn0, cn1, cn2
-        cov = front & bbox_ok & in_bbox & raw_ok & nondeg
-        return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
-                             eps)[:2]
-
-    l0 = b0 * b0 + c0 * c0
-    l1 = b1 * b1 + c1 * c1
-    l2 = b2 * b2 + c2 * c2
-    # longest-edge pick with pure boolean masks (no int vectors — Mosaic
-    # rejects some int-select lowerings). Reference tie logic:
-    # i = (l0 > l1 ? 0 : 1); i = (l[i] > l2 ? i : 2)
-    m0 = (l0 > l1) & (l0 > l2)
-    m1 = jnp.logical_not(l0 > l1) & (l1 > l2)
-    # i=2 otherwise; (i, j, k) cycles: 0->(1,2), 1->(2,0), 2->(0,1)
-
-    def pick(i0, i1, i2):
-        return jnp.where(m0, i0, jnp.where(m1, i1, i2))
-
-    b_i = pick(b0, b1, b2)
-    c_i = pick(c0, c1, c2)
-    l_i = pick(l0, l1, l2)
-    px_i = pick(px0, px1, px2)
-    py_i = pick(py0, py1, py2)
-    px_j = pick(px1, px2, px0)
-    py_j = pick(py1, py2, py0)
-    px_k = pick(px2, px0, px1)
-    py_k = pick(py2, py0, py1)
-
-    seg = l_i > eps
-    lj = -(Xf - px_k) * c_i + (Yf - py_k) * b_i
-    lk = (Xf - px_j) * c_i - (Yf - py_j) * b_i
-    lsum = lj + lk
-    lsum_safe = jnp.where(jnp.abs(lsum) > 1e-30, lsum, 1.0)
-    cj = jnp.clip(lj / lsum_safe, -1.0, 2.0)
-    ck = jnp.clip(lk / lsum_safe, -1.0, 2.0)
-    seg_ok = (cj >= -eps) & (ck >= -eps)
-    dpt = (Xf - px_i) ** 2 + (Yf - py_i) ** 2
-    pt_ok = dpt < eps
-
-    zero = jnp.zeros_like(cj)
-    one = jnp.ones_like(cj)
-    # coefficient of vertex t: 0 if t==i, cj if t==j, ck if t==k
-    seg0 = pick(zero, ck, cj)
-    seg1 = pick(cj, zero, ck)
-    seg2 = pick(ck, cj, zero)
-    pt0 = pick(one, zero, zero)
-    pt1 = pick(zero, one, zero)
-    pt2 = pick(zero, zero, one)
-    d0c = jnp.where(seg, seg0, pt0)
-    d1c = jnp.where(seg, seg1, pt1)
-    d2c = jnp.where(seg, seg2, pt2)
-    # boolean select via algebra — Mosaic rejects select on i1 vectors
-    # ("unsupported target bitwidth for truncation")
-    deg_ok = (seg & seg_ok) | (jnp.logical_not(seg) & pt_ok)
-
-    co0 = jnp.where(nondeg, cn0, d0c)
-    co1 = jnp.where(nondeg, cn1, d1c)
-    co2 = jnp.where(nondeg, cn2, d2c)
-    cov = front & bbox_ok & in_bbox & raw_ok & (nondeg | deg_ok)
-    return _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective,
-                         eps)[:2]
+    S = _level_setup(scr, float(w), float(h), 1.0, eps, full)
+    return _level_pixels(S, Xf, Yf, perspective, eps, full)[:2]
 
 
 def _kernel_depth(co0, co1, co2, z0, z1, z2, cov, perspective, eps):
@@ -303,14 +196,18 @@ def _level_setup(scr, wl: float, hl: float, inv: float, eps, full):
     px0, px1, px2 = scr[0:1, :], scr[1:2, :], scr[2:3, :]
     py0, py1, py2 = scr[3:4, :], scr[4:5, :], scr[5:6, :]
     z0, z1, z2 = scr[6:7, :], scr[7:8, :], scr[8:9, :]
-    invf = np.float32(inv)
-    sh = np.float32(invf * np.float32(0.5) - np.float32(0.5))
-    px0 = px0 * invf + sh
-    px1 = px1 * invf + sh
-    px2 = px2 * invf + sh
-    py0 = py0 * invf + sh
-    py1 = py1 * invf + sh
-    py2 = py2 * invf + sh
+    if inv != 1.0:
+        # (the top level skips the rescale entirely: x*1.0+0.0 is the
+        # identity on every value except -0.0 -> +0.0, and skipping keeps
+        # the expression stream exactly the dense oracle's)
+        invf = np.float32(inv)
+        sh = np.float32(invf * np.float32(0.5) - np.float32(0.5))
+        px0 = px0 * invf + sh
+        px1 = px1 * invf + sh
+        px2 = px2 * invf + sh
+        py0 = py0 * invf + sh
+        py1 = py1 * invf + sh
+        py2 = py2 * invf + sh
 
     a0 = px1 * py2 - py1 * px2
     a1 = py0 * px2 - px0 * py2
