@@ -596,15 +596,20 @@ MULTI_TIER_SPANS = (1, 2)  # spans > 2 go to XL: rare on face meshes, and
 
 # multi-kernel tier table: (key offset, span, full candidate math?).
 # Degenerate triangles need the segment/point fallback (full math) but are
-# usually SMALL (mesh pole slivers) — giving them their own span-1/span-2
-# tiers keeps them out of the XL segment, which every tile scans globally
+# usually SMALL (mesh pole slivers) — giving them their own span-2 tier
+# keeps them out of the XL segment, which every tile scans globally
 # (measured: ~560 degenerate pole triangles on the synthetic face put ~60%
-# of all chunk evaluations into XL).
+# of all chunk evaluations into XL). ONE deg tier, not a span-1/span-2
+# pair: per-RANGE setup costs ~0.2 us (benchmarks/probe_ranges.py: 19.4 ms
+# on an all-culled mesh vs 2.67 ms bare pipeline), so a span-1 + span-2
+# tier pair costs 3 range setups per tile whenever ANY degenerate exists
+# (~100 pole slivers on the production mesh) — one span-2 tier costs 2 and
+# scans each deg triangle by at most 4 tiles (pop is ~0.1% of candidates,
+# so the extra evals are noise next to 256 fewer setups per image).
 MULTI_TIERS = (
     (0, 1, False),  # fast span-1 (vast majority)
     (1, 2, False),  # fast span-2
-    (2, 1, True),   # degenerate span-1
-    (3, 2, True),   # degenerate span-2
+    (2, 2, True),   # degenerate (any span <= 2)
 )
 MULTI_N_TIERS = len(MULTI_TIERS) + 1  # + XL (global, full math)
 
@@ -693,11 +698,11 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         xl = n_tiers - 1
         # fast tiers by tile span; degenerate AT ANY LEVEL (det shrinks by
         # 4^k) needs the segment/point fallback -> the full-math small
-        # tiers (2, 3) or XL if also big
+        # tier (2) or XL if also big
         sgn = jnp.where(det < 0, -1.0, 1.0)
         deg = det * sgn <= eps * det_scale
         tier = jnp.where(ts <= 1, 0, jnp.where(ts <= 2, 1, xl))
-        tier_deg = jnp.where(ts <= 1, 2, jnp.where(ts <= 2, 3, xl))
+        tier_deg = jnp.where(ts <= 2, 2, xl)
         tier = jnp.where(deg, tier_deg, tier)
         home = ty0 * ntx + tx0
         key = jnp.where(valid, tier * ntiles + home, n_tiers * ntiles)
@@ -879,11 +884,12 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 else:
                     # skip the whole tier when globally empty (one SMEM
                     # compare beats `span` empty loop setups per tile; the
-                    # degenerate tiers are usually empty on clean meshes)
+                    # degenerate tier is usually empty on clean meshes)
                     tier_n = starts_ref[b, base + ntiles] - starts_ref[b,
                                                                        base]
                     state = jax.lax.cond(tier_n > 0, run_tier, lambda s: s,
                                          state)
+
             return scan_range(
                 state,
                 starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
@@ -1069,13 +1075,18 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
     win, offsets = run(n_main, tile, ntx, 0, starts, main_chunk)
     if n_tail:
         # the tail's one tile must scan EVERY valid triangle: in sort order
-        # they form one contiguous prefix [0, n_valid). A 6-entry starts
-        # array with only the XL segment populated routes the whole prefix
-        # through the full-math scan.
-        tail_starts = jnp.concatenate(
-            [jnp.zeros((B, MULTI_N_TIERS), jnp.int32), starts[:, -1:]],
-            axis=1,
-        )
+        # they form one contiguous prefix [0, n_valid). Route it through TWO
+        # ranges of a (MULTI_N_TIERS+1)-entry starts array: the fast prefix
+        # (tiers 0-1, non-degenerate at every level) scans with the
+        # segment/point fallback compiled OUT (tier-0 slot, full=False —
+        # ~40% fewer VPU ops), and only the degenerate + XL span
+        # [F, n_valid) pays full math (the deg-tier slot). The z-resolve is
+        # order-independent (min-id-at-max-z), so splitting the prefix
+        # preserves winners bit-exactly.
+        F = starts[:, 2 * ntiles : 2 * ntiles + 1]  # end of fast tiers
+        V = starts[:, -1:]  # end of all valid triangles
+        zero = jnp.zeros((B, 1), jnp.int32)
+        tail_starts = jnp.concatenate([zero, F, F, V, V], axis=1)
         win_t, offsets_t = run(n_tail, top >> max_main, 1, n_main,
                                tail_starts, TAIL_CHUNK)
 
