@@ -81,22 +81,81 @@ def _bench_mode(mode: str, batch: int, n_iters: int) -> float:
     return n_iters * batch / dt
 
 
+def _check_fused_exact(batch: int = 2) -> dict:
+    """On-chip exactness audit of the fused pyramid (VERDICT r3 #4): compare
+    ``rasterize_pyramid_fused`` (in-kernel interpolation) against the full
+    DENSE oracle (dense winner search + gather interpolation,
+    rasterize.py::_interp_from_win) at every level of the 7-level production
+    pyramid. Records whether winner maps and interpolated values are
+    BITWISE equal, and the max abs value difference if not."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stylerenderer_tpu.face3d import mesh_point_normal, synthetic_face
+    from stylerenderer_tpu.ops.rasterize import (
+        _dispatch_winners, _interp_from_win, rasterize_pyramid_fused,
+    )
+    from stylerenderer_tpu.ops.rasterize_pallas import (
+        rasterize_winners_pallas_multi,
+    )
+
+    face, tri = synthetic_face(180, 280, shape_dim=80, expression_dim=29)
+    x = face.random_input(jax.random.PRNGKey(0), batch)
+    vert = face(x)
+    norm = mesh_point_normal(vert, tri)
+    sizes = [256 >> k for k in range(7)]  # 256 .. 4
+
+    fused = jax.jit(
+        lambda v, n: rasterize_winners_pallas_multi(
+            v, tri, 256, 7, attrs=n)
+    )(vert, norm)
+
+    win_exact, val_exact, max_diff = True, True, 0.0
+    for (val_f, win_f), s in zip(fused, sizes):
+        win_o = _dispatch_winners(vert, tri, s, s, False, 1e-6, "dense")
+        val_o = _interp_from_win(
+            vert, norm.astype(jnp.float32), tri, win_o, s, s, False, 1e-6
+        )
+        wf, wo = np.asarray(win_f), np.asarray(win_o)
+        vf, vo = np.asarray(val_f), np.asarray(val_o)
+        if not (wf == wo).all():
+            win_exact = False
+        if not (vf == vo).all():
+            val_exact = False
+        max_diff = max(max_diff, float(np.abs(vf - vo).max()))
+    return {
+        "fused_winner_bitexact": win_exact,
+        "fused_values_bitexact": val_exact,
+        "fused_values_max_abs_diff": max_diff,
+        "check_levels": sizes,
+        "check_batch": batch,
+    }
+
+
 def main():
+    import sys
+
     batch, n_iters = 16, 20
+    out = {
+        "metric": "gar_256px_renders_per_sec_per_chip",
+        "unit": "renders/s",
+        "pyramid_mode": "each (reference-exact)",
+    }
+    if "--check" in sys.argv:
+        out.update(_check_fused_exact())
     each_rps = _bench_mode("each", batch, n_iters)
     down_rps = _bench_mode("downsample", batch, n_iters)
-    print(
-        json.dumps(
-            {
-                "metric": "gar_256px_renders_per_sec_per_chip",
-                "value": round(each_rps, 2),
-                "unit": "renders/s",
-                "vs_baseline": round(each_rps / 5000.0, 4),
-                "pyramid_mode": "each (reference-exact)",
-                "downsample_mode_renders_per_sec": round(down_rps, 2),
-            }
-        )
+    out.update(
+        {
+            "value": round(each_rps, 2),
+            "vs_baseline": round(each_rps / 5000.0, 4),
+            "downsample_mode_renders_per_sec": round(down_rps, 2),
+        }
     )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -35,3 +35,101 @@ def test_regressor_training_reduces_loss():
         losses.append(float(m["regressor_loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses[:3] + losses[-3:]
+
+
+def test_regressor_init_beats_mean_latent():
+    """Render Inverting composition (VERDICT r3 #3): the projector's
+    ``regressor_fn`` init hook must (a) actually drive the fit's starting
+    point and (b) beat the mean-latent init at a fixed iteration budget.
+    Proven with an ORACLE encoder (returns the ground-truth w the target
+    was rendered from) so the assertion tests the composition, not the
+    encoder's training quality — that is the chip demo's job
+    (scripts/recon_demo256.py). Ref: /root/reference/model.py:337-387."""
+    import jax.numpy as jnp
+
+    from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
+
+    gen = GeneratorWithMap(16, 32, 2, channel_multiplier=1)
+    face, tri = synthetic_face(6, 12, shape_dim=4, expression_dim=2)
+    z = jnp.zeros((2, 32))
+    x = face.random_input(jax.random.PRNGKey(0), 2)
+    v = face(x)
+    n = mesh_point_normal(v, tri)
+    g_params = gen.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        [z], (v, n, tri),
+    )["params"]
+
+    # target rendered from a KNOWN latent + neutral geometry
+    w_true = gen.apply(
+        {"params": g_params},
+        jax.random.normal(jax.random.PRNGKey(7), (2, 32)),
+        method=gen.get_latent,
+    )
+    x0 = jnp.zeros((2, face.sigma.shape[0]))
+    v0 = face(x0)
+    n0 = mesh_point_normal(v0, tri)
+    noise = [jnp.zeros((1, 1, 1, 1))] * gen.num_layers
+    latent = jnp.tile(w_true[:, None, :], (1, gen.n_latent, 1))
+    target = gen.apply(
+        {"params": g_params}, latent, gen.apply(
+            {"params": g_params}, (v0, n0, tri), method=gen.normal_pyramid
+        ), noise, method=gen.synthesize,
+    ).astype(jnp.float32)
+
+    cfg = ProjectorConfig(iters=8, w_lpips=0.0, w_lmk=0.0, w_prior=0.0,
+                          w_pose=0.0)
+    proj_mean = jax.jit(make_projector(gen, g_params, face, tri, cfg))
+    proj_oracle = jax.jit(make_projector(
+        gen, g_params, face, tri, cfg, regressor_fn=lambda img: w_true
+    ))
+    h_mean = np.asarray(proj_mean(jax.random.PRNGKey(3), target)
+                        ["loss_history"])
+    h_orac = np.asarray(proj_oracle(jax.random.PRNGKey(3), target)
+                        ["loss_history"])
+    assert np.isfinite(h_mean).all() and np.isfinite(h_orac).all()
+    # the oracle init starts (near-)perfect and stays ahead of mean init
+    assert h_orac[0] < h_mean[0] * 0.5, (h_orac[0], h_mean[0])
+    assert h_orac[-1] < h_mean[-1], (h_orac[-1], h_mean[-1])
+
+
+def test_trained_regressor_plugs_into_projector():
+    """make_regressor_fn(trained params) -> projector runs finite and its
+    init differs from the mean-latent start (the hook is live)."""
+    import jax.numpy as jnp
+
+    from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
+    from stylerenderer_tpu.train.regressor import make_regressor_fn
+
+    gen = GeneratorWithMap(16, 32, 2, channel_multiplier=1)
+    reg = Regressor(16, 32, 2, channel_multiplier=1)
+    face, tri = synthetic_face(6, 12, shape_dim=4, expression_dim=2)
+    z = jnp.zeros((2, 32))
+    x = face.random_input(jax.random.PRNGKey(0), 2)
+    v = face(x)
+    n = mesh_point_normal(v, tri)
+    g_params = gen.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        [z], (v, n, tri),
+    )["params"]
+    init_fn, step_fn = make_regressor_trainer(
+        reg, gen, g_params, face, tri, batch=4, lr=3e-4
+    )
+    rstate = init_fn(jax.random.PRNGKey(3))
+    step_fn = jax.jit(step_fn)
+    for _ in range(5):
+        rstate, _ = step_fn(rstate)
+
+    regressor_fn = make_regressor_fn(reg, rstate.params)
+    cfg = ProjectorConfig(iters=4, w_lpips=0.0, w_lmk=0.0)
+    proj = jax.jit(make_projector(gen, g_params, face, tri, cfg,
+                                  regressor_fn=regressor_fn))
+    proj_mean = jax.jit(make_projector(gen, g_params, face, tri, cfg))
+    target = jnp.zeros((2, 16, 16, 3))
+    out = proj(jax.random.PRNGKey(4), target)
+    out_mean = proj_mean(jax.random.PRNGKey(4), target)
+    assert np.isfinite(np.asarray(out["loss_history"])).all()
+    assert not np.allclose(
+        np.asarray(out["loss_history"])[0],
+        np.asarray(out_mean["loss_history"])[0],
+    )

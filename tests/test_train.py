@@ -143,6 +143,65 @@ def test_train_step_spmd_8dev(stepper):
     np.testing.assert_allclose(leaf_s, leaf_m, rtol=1e-2, atol=2e-3)
 
 
+def test_train_step_spmd_heads_and_augment():
+    """Supervisor heads (sfs/feat/lmk) + ADA augmentation active under the
+    8-device mesh (VERDICT r3 #7): the paired-geometry losses slice ACROSS
+    shard boundaries (feat pairs (i, half+i); lmk pairs interleaved), so this
+    proves GSPMD resolves the cross-device pairing, and that the augmented
+    branches stay finite and consistent with single-device execution.
+    Ref: /root/reference/train.py:294-330."""
+    from stylerenderer_tpu.face3d.augment import ada_augment
+
+    heads = {
+        # deterministic jittable stand-ins with the real heads' signatures
+        # (sfs: img->normals map, feat: img->embedding, lmk: img->landmarks)
+        "sfs": lambda img: jnp.tanh(img),
+        "feat": lambda img: jnp.mean(img, axis=(1, 2)),
+        "lmk": lambda img: jnp.mean(
+            jnp.abs(img), axis=3).reshape(img.shape[0], -1)[:, :16],
+    }
+    cfg = tiny_cfg(augment=True, ada_every=8)
+    face, tri = synthetic_face(6, 12, shape_dim=4, expression_dim=2)
+    gen, disc = make_models(cfg)
+    x = face.random_input(jax.random.PRNGKey(0), 2)
+    v = face(x)
+    n = mesh_point_normal(v, tri)
+    state = init_train_state(cfg, jax.random.PRNGKey(1), (v, n, tri))
+    step_fn = jax.jit(
+        make_train_step(cfg, gen, disc, face, tri, ada_augment, heads)
+    )
+    real = jax.random.normal(
+        jax.random.PRNGKey(5), (cfg.batch, cfg.size, cfg.size, 3)
+    )
+
+    s_single, m_single = step_fn(state, real)
+    for k, val in m_single.items():
+        assert np.isfinite(float(val)), (k, val)
+    for k in ("sfs", "feature", "lmk"):
+        assert k in m_single
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(jax.devices()[:8])
+    with mesh:
+        s_multi, m_multi = step_fn(replicate(mesh, state), shard_batch(mesh, real))
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_multi[k]), rtol=1e-2, atol=1e-3,
+            err_msg=k,
+        )
+    # Adam turns near-zero grads into +-lr coin flips under cross-device
+    # reduction-order noise (m/sqrt(v) ~ sign(grad) as grad -> 0), so
+    # per-element equality is brittle; instead require the single-vs-SPMD
+    # param disagreement to be small relative to the update magnitude —
+    # a broken SPMD lowering (different losses) would make them comparable.
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(state.g_params)[0])
+    leaf_s = np.asarray(jax.tree_util.tree_leaves(s_single.g_params)[0])
+    leaf_m = np.asarray(jax.tree_util.tree_leaves(s_multi.g_params)[0])
+    upd = np.abs(leaf_s - leaf0).mean()
+    assert upd > 0  # params moved
+    assert np.abs(leaf_s - leaf_m).mean() < 0.2 * upd
+
+
 def test_ada_controller():
     cfg = tiny_cfg(augment=True, ada_every=8)
     face, tri, state, step_fn = build(cfg, augment_fn=lambda r, i, p: i)
