@@ -13,7 +13,12 @@ coefficient cancellation; fixed by the [-1,2] clamp in
 rasterize._eval_candidate (+ geo-group grad clip in the projector) — see
 tests/test_inversion_stability.py. Finite since round 3.
 
-python benchmarks/bench_inversion.py [iters] [batch]
+python benchmarks/bench_inversion.py [iters] [batch] [pyramid_mode]
+
+``pyramid_mode`` (default "downsample", the TPU fast path) selects the
+generator's normal-map pyramid: "each" is the reference-exact one-rasterize-
+per-resolution variant (model.py:260-270); both are printed in the result
+line so README rows can be labeled (VERDICT r3 weak #2).
 """
 
 import sys, os
@@ -28,7 +33,7 @@ import jax.numpy as jnp
 from benchmarks.common import production_face, sync
 
 
-def main(iters: int = 300, batch: int = 1):
+def main(iters: int = 300, batch: int = 1, pyramid_mode: str = "downsample"):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from stylerenderer_tpu.eval.lpips import load_lpips
     from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
@@ -36,7 +41,7 @@ def main(iters: int = 300, batch: int = 1):
 
     size, latent = 256, 512
     gen = GeneratorWithMap(size, latent, 8, dtype=jnp.bfloat16,
-                           pyramid_mode="downsample")
+                           pyramid_mode=pyramid_mode)
     face, tri, vert, norm = production_face(batch)
     z0 = jnp.zeros((batch, latent))
     variables = gen.init(
@@ -74,11 +79,12 @@ def main(iters: int = 300, batch: int = 1):
               flush=True)
     assert np.isfinite(float(out["losses"]["lpips"]))
     assert np.isfinite(float(out["losses"]["lmk"]))
-    print(f"{iters}-iter inversion (LPIPS+lmk), batch {batch}: "
-          f"{dt / batch:.2f} s/face "
+    print(f"{iters}-iter inversion (LPIPS+lmk), batch {batch}, "
+          f"pyramid_mode={pyramid_mode}: {dt / batch:.2f} s/face "
           f"({dt / iters * 1e3:.1f} ms/iter for the batch)")
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 1,
+         sys.argv[3] if len(sys.argv) > 3 else "downsample")

@@ -778,49 +778,90 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
     (P_pad, _offsets, blocks, inv_np, wl_np, hl_np, xoff_np, yoff_np,
      tl_np) = _multi_level_rows(top, n_levels, tile, level0)
 
-    def kernel(starts_ref, rows_ref, dat_ref, win_ref, scr_ref, sem):
+    def kernel(starts_ref, dat_ref, win_ref, scr_ref, sem):
         b = pl.program_id(0)
         t = pl.program_id(1)
         ty = t // ntx
         tx = t % ntx
-        rows = rows_ref[...]  # [P_pad, 8] static per-row tables
-        tl = rows[:, 5:6]
+        # per-row pixel coordinates, derived from iota + the static level
+        # table instead of a prefetched [P_pad, 8] block (the block was
+        # re-DMA'd every grid step — pure overhead at 4096 steps/batch)
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (P_pad, 1), 0)
         txf = jnp.full((P_pad, 1), tx, jnp.float32)
         tyf = jnp.full((P_pad, 1), ty, jnp.float32)
-        Xf = txf * tl + rows[:, 3:4]  # level-k pixel x of this tile's row p
-        Yf = tyf * tl + rows[:, 4:5]
+        Xf = jnp.zeros((P_pad, 1), jnp.float32)
+        Yf = jnp.zeros((P_pad, 1), jnp.float32)
+        for off, pk, tl, wl, inv in blocks:
+            pl_local = p_iota - off
+            in_blk = (p_iota >= off) & (p_iota < off + pk)
+            live = pl_local < tl * tl  # per-level dead pad rows
+            x_l = (pl_local % tl).astype(jnp.float32)
+            y_l = (pl_local // tl).astype(jnp.float32)
+            # dead/pad rows get coords far outside every bbox clamp, so
+            # their coverage is identically false (as in _multi_level_rows)
+            big = jnp.float32(1.0e9)
+            x_l = jnp.where(live, x_l, big)
+            y_l = jnp.where(live, y_l, big)
+            Xf = jnp.where(in_blk, txf * tl + x_l, Xf)
+            Yf = jnp.where(in_blk, tyf * tl + y_l, Yf)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         tile_px = tile * (1 << level0)  # tile edge in TOP-level pixels
 
-        def scan_range(state, start, end, chunk_body, prefilter=False):
-            """Stream dat[start:end) in double-buffered chunks and fold
-            ``chunk_body(scr, pos, start, end, st)`` over them."""
-            c0 = start // chunk
-            nchunks = jnp.where(
-                end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
-            )
+        def scan_ranges(state, ranges, chunk_body, prefilter=False):
+            """Stream a LIST of sorted-array ranges through ONE fori_loop:
+            per-chunk scalar selects map the flat chunk index to its range's
+            DMA offset and [start, end) mask. One loop instead of one per
+            range matters because every loop/cond boundary forces the
+            carried [P_pad, 1+1+C] winner state through VMEM (~0.6 us each,
+            measured: benchmarks/probe_ranges.py — 19.4 ms/16 imgs of pure
+            range setup on an all-culled mesh); empty ranges now cost a few
+            scalar ops instead of a loop setup, so the per-tier global-empty
+            lax.cond guards are gone too."""
+            c0s, ns, cums = [], [], []
+            total = jnp.int32(0)
+            for (start, end) in ranges:
+                c0 = start // chunk
+                n = jnp.where(
+                    end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
+                )
+                c0s.append(c0)
+                ns.append(n)
+                cums.append(total)
+                total = total + n
 
-            def dma(c, slot):
-                off = pl.multiple_of((c0 + c) * chunk, chunk)
+            def pick(c):
+                """(aligned chunk base, range start, range end) for flat
+                chunk index c via a scalar select chain."""
+                base, lo, hi = c0s[0] + c, ranges[0][0], ranges[0][1]
+                for r in range(1, len(ranges)):
+                    in_r = c >= cums[r]
+                    base = jnp.where(in_r, c0s[r] + (c - cums[r]), base)
+                    lo = jnp.where(in_r, ranges[r][0], lo)
+                    hi = jnp.where(in_r, ranges[r][1], hi)
+                return base, lo, hi
+
+            def dma(cbase, slot):
+                off = pl.multiple_of(cbase * chunk, chunk)
                 return pltpu.make_async_copy(
                     dat_ref.at[b, :, pl.ds(off, chunk)],
                     scr_ref.at[slot], sem.at[slot],
                 )
 
-            @pl.when(nchunks > 0)
+            @pl.when(total > 0)
             def _():
-                dma(0, 0).start()
+                dma(pick(jnp.int32(0))[0], 0).start()
 
             def body(c, st):
                 slot = jax.lax.rem(c, 2)
 
-                @pl.when(c + 1 < nchunks)
+                @pl.when(c + 1 < total)
                 def _():
-                    dma(c + 1, 1 - slot).start()
+                    dma(pick(c + 1)[0], 1 - slot).start()
 
-                dma(c, slot).wait()
+                cbase, start, end = pick(c)
+                dma(cbase, slot).wait()
                 scr = scr_ref[slot]
-                off = pl.multiple_of((c0 + c) * chunk, chunk)
+                off = pl.multiple_of(cbase * chunk, chunk)
                 pos = off + lane
 
                 def evaluate(st):
@@ -835,7 +876,10 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 # (coverage at any level implies a pixel center inside the
                 # bbox, and every level's centers lie inside the tile's
                 # top-level pixel span — build_bins_multi docstring; +-1
-                # slack absorbs the boundary rounding)
+                # slack absorbs the boundary rounding). Degenerate-tier
+                # chunks share the loop and the filter — it is pure bbox
+                # logic, correct for the segment/point fallback too (their
+                # coverage also requires in_bbox).
                 pxmin = jnp.minimum(jnp.minimum(scr[0:1], scr[1:2]),
                                     scr[2:3])
                 pxmax = jnp.maximum(jnp.maximum(scr[0:1], scr[1:2]),
@@ -856,45 +900,36 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
                 ) > 0.0
                 return jax.lax.cond(any_touch, evaluate, lambda s: s, st)
 
-            return jax.lax.fori_loop(0, nchunks, body, state)
+            return jax.lax.fori_loop(0, total, body, state)
+
+        def tier_ranges(tier, span):
+            """This tile's (start, end) sorted-array segments for one tier:
+            one contiguous segment per home row in the span neighborhood."""
+            base = tier * ntiles
+            col_lo = jnp.maximum(tx - (span - 1), 0)
+            out = []
+            for dy in range(span):
+                row = ty - dy
+                row_ok = row >= 0
+                row_safe = jnp.maximum(row, 0)
+                seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
+                seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
+                out.append((jnp.where(row_ok, seg_lo, 0),
+                            jnp.where(row_ok, seg_hi, 0)))
+            return out
 
         def sweep(state, make_body):
-            """One pass over every segment this tile owns (span tiers + XL),
-            folding ``make_body(full_math)`` over each streamed chunk."""
+            """One pass over every segment this tile owns: all fast-math
+            tiers in ONE merged loop, then degenerate + XL in a second
+            full-math merged loop (with the per-chunk bbox prefilter)."""
+            fast, full = [], []
             for tier, span, full_math in MULTI_TIERS:
-                base = tier * ntiles
-                col_lo = jnp.maximum(tx - (span - 1), 0)
-
-                def run_tier(state, base=base, span=span, col_lo=col_lo,
-                             full_math=full_math):
-                    for dy in range(span):
-                        row = ty - dy
-                        row_ok = row >= 0
-                        row_safe = jnp.maximum(row, 0)
-                        seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
-                        seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
-                        seg_lo = jnp.where(row_ok, seg_lo, 0)
-                        seg_hi = jnp.where(row_ok, seg_hi, 0)
-                        state = scan_range(state, seg_lo, seg_hi,
-                                           make_body(full_math))
-                    return state
-
-                if tier == 0:
-                    state = run_tier(state)
-                else:
-                    # skip the whole tier when globally empty (one SMEM
-                    # compare beats `span` empty loop setups per tile; the
-                    # degenerate tier is usually empty on clean meshes)
-                    tier_n = starts_ref[b, base + ntiles] - starts_ref[b,
-                                                                       base]
-                    state = jax.lax.cond(tier_n > 0, run_tier, lambda s: s,
-                                         state)
-
-            return scan_range(
-                state,
-                starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
-                starts_ref[b, MULTI_N_TIERS * ntiles],
-                make_body(True),
+                (full if full_math else fast).extend(tier_ranges(tier, span))
+            full.append((starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
+                         starts_ref[b, MULTI_N_TIERS * ntiles]))
+            state = scan_ranges(state, fast, make_body(False))
+            return scan_ranges(
+                state, full, make_body(True),
                 # the tail kernel's one tile covers the whole image — nothing
                 # to skip there
                 prefilter=ntiles > 1,
@@ -1038,21 +1073,12 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
             top, n_lv, ntx_k, ntx_k, perspective, eps, tile_k,
             n_attr=n_attr, level0=level0, chunk=chunk,
         )
-        _, offs, _blocks, inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np = (
-            _multi_level_rows(top, n_lv, tile_k, level0)
-        )
-        rows = jnp.asarray(
-            np.concatenate([inv_np, wl_np, hl_np, xoff_np, yoff_np, tl_np,
-                            np.zeros((P_pad, 2), np.float32)], axis=1)
-        )  # [P_pad, 8]
+        offs = _multi_level_rows(top, n_lv, tile_k, level0)[1]
         ntl = ntx_k * ntx_k
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ntl),
-            in_specs=[
-                pl.BlockSpec((P_pad, 8), lambda b, t, starts: (0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, 1, P_pad, out_ch), lambda b, t, starts: (b, t, 0, 0)
             ),
@@ -1068,8 +1094,15 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
                 jnp.float32 if n_attr else jnp.int32,
             ),
             grid_spec=grid_spec,
+            # [P_pad, 1] row temporaries are lane-padded to [P_pad, 128] in
+            # VMEM (~0.7 MB each at tile=32), so the tile-32 kernel's stack
+            # peaks just past the default 16 MB scoped-vmem limit; the chip
+            # has 128 MB VMEM and profiling shows no pipelining loss at 32
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024,
+            ),
             interpret=interpret,
-        )(starts_k, rows, dat)
+        )(starts_k, dat)
         return win, offs
 
     win, offsets = run(n_main, tile, ntx, 0, starts, main_chunk)
