@@ -75,7 +75,7 @@ def fid_trend(out: str, data: str, size: int = 64, n_sample: int = 5000):
     return trend
 
 
-def plot(out: str):
+def plot(out: str, title: str = "64px synthetic faces"):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -100,9 +100,17 @@ def plot(out: str):
     axes[0].plot(steps, g, label="G loss", lw=0.7)
     axes[0].set_xlabel("step")
     axes[0].legend()
-    axes[0].set_title("adversarial losses (64px synthetic faces)")
+    axes[0].set_title(f"adversarial losses ({title})")
     tr_path = os.path.join(out, "fid_trend.json")
-    if os.path.exists(tr_path):
+    if not os.path.exists(tr_path):
+        # no FID trend: show throughput instead of an empty panel
+        ips = [(r["step"], r["imgs_per_sec"]) for r in rows
+               if r.get("imgs_per_sec")]
+        if ips:
+            axes[1].plot([a for a, _ in ips], [b for _, b in ips], lw=0.7)
+            axes[1].set_xlabel("step")
+            axes[1].set_title("sustained img/s")
+    else:
         tr = json.load(open(tr_path))
         axes[1].plot([t["step"] for t in tr], [t["fid"] for t in tr], "o-")
         axes[1].set_xlabel("step")

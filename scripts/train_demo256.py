@@ -59,7 +59,7 @@ def main():
 
     from scripts.train_demo import plot
 
-    plot(out)
+    plot(out, title="256px, batch 16, synthetic faces")
 
 
 if __name__ == "__main__":
