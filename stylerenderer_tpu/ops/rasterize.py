@@ -537,10 +537,13 @@ def rasterize_pyramid_fused(v, tex, tri, sizes, perspective: bool = False,
     """``rasterize_pyramid`` with fused in-kernel attribute interpolation:
     on TPU the Pallas pass emits the finished value maps directly, skipping
     the per-pixel gather + coefficient recompute that dominates the forward
-    cost at production mesh sizes. Winner selection is bit-identical to the
-    dense oracle; values match ``rasterize_pyramid`` to f32 rounding (~1e-5:
-    sub-top levels evaluate coefficients on power-of-two-rescaled
-    coordinates, which rounds products differently).
+    cost at production mesh sizes. Winner selection AND interpolated values
+    are bit-identical to the dense oracle: the in-kernel interpolation uses
+    the same clamped coefficients and the same association order as
+    ``_interp_from_win``, and the winner's value is extracted with an exact
+    one-hot lane sum (``bench.py --check`` audits both equalities on chip
+    and records ``fused_{winner,values}_bitexact`` in the bench JSON; the
+    committed CPU contract is tests/test_rasterize_pallas.py).
 
     Differentiable: a custom VJP recomputes the interpolation-only gradients
     from the winner maps on the backward pass, identical to

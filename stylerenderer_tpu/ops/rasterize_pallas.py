@@ -470,7 +470,7 @@ def _make_kernel(h, w, ntx, nty, perspective, eps, tile=TILE):
 
         zb, wb = state
         win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
-        win_ref[0, 0, :, :] = win.reshape(tile, tile)
+        win_ref[b, 0, :, :] = win.reshape(tile, tile)
 
     return kernel
 
@@ -757,7 +757,7 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
     return dat, starts
 
 
-def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
+def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile, B,
                        n_attr=0, level0=0, chunk=CHUNK):
     """n_attr=0: winner-id kernel. n_attr=C: row-extraction kernel — the
     scan state carries the WINNING TRIANGLE'S ENTIRE DATA ROW (projected
@@ -779,8 +779,7 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
      tl_np) = _multi_level_rows(top, n_levels, tile, level0)
 
     def kernel(starts_ref, dat_ref, win_ref, scr_ref, sem):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
+        t = pl.program_id(0)
         ty = t // ntx
         tx = t % ntx
         # per-row pixel coordinates, derived from iota + the static level
@@ -807,203 +806,214 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         tile_px = tile * (1 << level0)  # tile edge in TOP-level pixels
 
-        def scan_ranges(state, ranges, chunk_body, prefilter=False):
-            """Stream a LIST of sorted-array ranges through ONE fori_loop:
-            per-chunk scalar selects map the flat chunk index to its range's
-            DMA offset and [start, end) mask. One loop instead of one per
-            range matters because every loop/cond boundary forces the
-            carried [P_pad, 1+1+C] winner state through VMEM (~0.6 us each,
-            measured: benchmarks/probe_ranges.py — 19.4 ms/16 imgs of pure
-            range setup on an all-culled mesh); empty ranges now cost a few
-            scalar ops instead of a loop setup, so the per-tier global-empty
-            lax.cond guards are gone too."""
-            c0s, ns, cums = [], [], []
-            total = jnp.int32(0)
-            for (start, end) in ranges:
-                c0 = start // chunk
-                n = jnp.where(
-                    end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
-                )
-                c0s.append(c0)
-                ns.append(n)
-                cums.append(total)
-                total = total + n
+        def per_b(b, carry):
+            # the whole per-batch-item sweep runs INSIDE one grid step:
+            # grid is (ntiles,) and b is a fori_loop index, so the
+            # [P_pad, 1]-shaped row setup above (and every other per-tile
+            # fixed cost: grid bookkeeping, output block DMA) is paid once
+            # per TILE instead of once per (batch, tile) — measured 17.4 ms
+            # of pure per-step overhead per 16 imgs on an all-culled mesh
+            # (benchmarks/probe_ranges.py) before this fold.
+            def scan_ranges(state, ranges, chunk_body, prefilter=False):
+                """Stream a LIST of sorted-array ranges through ONE fori_loop:
+                per-chunk scalar selects map the flat chunk index to its range's
+                DMA offset and [start, end) mask. One loop instead of one per
+                range matters because every loop/cond boundary forces the
+                carried [P_pad, 1+1+C] winner state through VMEM (~0.6 us each,
+                measured: benchmarks/probe_ranges.py — 19.4 ms/16 imgs of pure
+                range setup on an all-culled mesh); empty ranges now cost a few
+                scalar ops instead of a loop setup, so the per-tier global-empty
+                lax.cond guards are gone too."""
+                c0s, ns, cums = [], [], []
+                total = jnp.int32(0)
+                for (start, end) in ranges:
+                    c0 = start // chunk
+                    n = jnp.where(
+                        end > start, (end - c0 * chunk + chunk - 1) // chunk, 0
+                    )
+                    c0s.append(c0)
+                    ns.append(n)
+                    cums.append(total)
+                    total = total + n
 
-            def pick(c):
-                """(aligned chunk base, range start, range end) for flat
-                chunk index c via a scalar select chain."""
-                base, lo, hi = c0s[0] + c, ranges[0][0], ranges[0][1]
-                for r in range(1, len(ranges)):
-                    in_r = c >= cums[r]
-                    base = jnp.where(in_r, c0s[r] + (c - cums[r]), base)
-                    lo = jnp.where(in_r, ranges[r][0], lo)
-                    hi = jnp.where(in_r, ranges[r][1], hi)
-                return base, lo, hi
+                def pick(c):
+                    """(aligned chunk base, range start, range end) for flat
+                    chunk index c via a scalar select chain."""
+                    base, lo, hi = c0s[0] + c, ranges[0][0], ranges[0][1]
+                    for r in range(1, len(ranges)):
+                        in_r = c >= cums[r]
+                        base = jnp.where(in_r, c0s[r] + (c - cums[r]), base)
+                        lo = jnp.where(in_r, ranges[r][0], lo)
+                        hi = jnp.where(in_r, ranges[r][1], hi)
+                    return base, lo, hi
 
-            def dma(cbase, slot):
-                off = pl.multiple_of(cbase * chunk, chunk)
-                return pltpu.make_async_copy(
-                    dat_ref.at[b, :, pl.ds(off, chunk)],
-                    scr_ref.at[slot], sem.at[slot],
-                )
+                def dma(cbase, slot):
+                    off = pl.multiple_of(cbase * chunk, chunk)
+                    return pltpu.make_async_copy(
+                        dat_ref.at[b, :, pl.ds(off, chunk)],
+                        scr_ref.at[slot], sem.at[slot],
+                    )
 
-            @pl.when(total > 0)
-            def _():
-                dma(pick(jnp.int32(0))[0], 0).start()
-
-            def body(c, st):
-                slot = jax.lax.rem(c, 2)
-
-                @pl.when(c + 1 < total)
+                @pl.when(total > 0)
                 def _():
-                    dma(pick(c + 1)[0], 1 - slot).start()
+                    dma(pick(jnp.int32(0))[0], 0).start()
 
-                cbase, start, end = pick(c)
-                dma(cbase, slot).wait()
-                scr = scr_ref[slot]
-                off = pl.multiple_of(cbase * chunk, chunk)
-                pos = off + lane
+                def body(c, st):
+                    slot = jax.lax.rem(c, 2)
 
-                def evaluate(st):
-                    return chunk_body(scr, pos, start, end, st)
+                    @pl.when(c + 1 < total)
+                    def _():
+                        dma(pick(c + 1)[0], 1 - slot).start()
 
-                if not prefilter:
-                    return evaluate(st)
-                # XL chunks are scanned by EVERY tile but a big triangle
-                # touches only the tiles its top-level float bbox overlaps:
-                # a dozen [1, CHUNK] ops + one reduce skip the whole
-                # [P_pad, CHUNK] eval when no lane's bbox reaches this tile
-                # (coverage at any level implies a pixel center inside the
-                # bbox, and every level's centers lie inside the tile's
-                # top-level pixel span — build_bins_multi docstring; +-1
-                # slack absorbs the boundary rounding). Degenerate-tier
-                # chunks share the loop and the filter — it is pure bbox
-                # logic, correct for the segment/point fallback too (their
-                # coverage also requires in_bbox).
-                pxmin = jnp.minimum(jnp.minimum(scr[0:1], scr[1:2]),
-                                    scr[2:3])
-                pxmax = jnp.maximum(jnp.maximum(scr[0:1], scr[1:2]),
-                                    scr[2:3])
-                pymin = jnp.minimum(jnp.minimum(scr[3:4], scr[4:5]),
-                                    scr[5:6])
-                pymax = jnp.maximum(jnp.maximum(scr[3:4], scr[4:5]),
-                                    scr[5:6])
-                tx0f = (tx * tile_px).astype(jnp.float32)
-                ty0f = (ty * tile_px).astype(jnp.float32)
-                touch = (
-                    (pxmax >= tx0f - 1.0) & (pxmin <= tx0f + tile_px)
-                    & (pymax >= ty0f - 1.0) & (pymin <= ty0f + tile_px)
-                    & (pos >= start) & (pos < end)
+                    cbase, start, end = pick(c)
+                    dma(cbase, slot).wait()
+                    scr = scr_ref[slot]
+                    off = pl.multiple_of(cbase * chunk, chunk)
+                    pos = off + lane
+
+                    def evaluate(st):
+                        return chunk_body(scr, pos, start, end, st)
+
+                    if not prefilter:
+                        return evaluate(st)
+                    # XL chunks are scanned by EVERY tile but a big triangle
+                    # touches only the tiles its top-level float bbox overlaps:
+                    # a dozen [1, CHUNK] ops + one reduce skip the whole
+                    # [P_pad, CHUNK] eval when no lane's bbox reaches this tile
+                    # (coverage at any level implies a pixel center inside the
+                    # bbox, and every level's centers lie inside the tile's
+                    # top-level pixel span — build_bins_multi docstring; +-1
+                    # slack absorbs the boundary rounding). Degenerate-tier
+                    # chunks share the loop and the filter — it is pure bbox
+                    # logic, correct for the segment/point fallback too (their
+                    # coverage also requires in_bbox).
+                    pxmin = jnp.minimum(jnp.minimum(scr[0:1], scr[1:2]),
+                                        scr[2:3])
+                    pxmax = jnp.maximum(jnp.maximum(scr[0:1], scr[1:2]),
+                                        scr[2:3])
+                    pymin = jnp.minimum(jnp.minimum(scr[3:4], scr[4:5]),
+                                        scr[5:6])
+                    pymax = jnp.maximum(jnp.maximum(scr[3:4], scr[4:5]),
+                                        scr[5:6])
+                    tx0f = (tx * tile_px).astype(jnp.float32)
+                    ty0f = (ty * tile_px).astype(jnp.float32)
+                    touch = (
+                        (pxmax >= tx0f - 1.0) & (pxmin <= tx0f + tile_px)
+                        & (pymax >= ty0f - 1.0) & (pymin <= ty0f + tile_px)
+                        & (pos >= start) & (pos < end)
+                    )
+                    any_touch = jnp.max(
+                        jnp.where(touch, 1.0, 0.0).astype(jnp.float32)
+                    ) > 0.0
+                    return jax.lax.cond(any_touch, evaluate, lambda s: s, st)
+
+                return jax.lax.fori_loop(0, total, body, state)
+
+            def tier_ranges(tier, span):
+                """This tile's (start, end) sorted-array segments for one tier:
+                one contiguous segment per home row in the span neighborhood."""
+                base = tier * ntiles
+                col_lo = jnp.maximum(tx - (span - 1), 0)
+                out = []
+                for dy in range(span):
+                    row = ty - dy
+                    row_ok = row >= 0
+                    row_safe = jnp.maximum(row, 0)
+                    seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
+                    seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
+                    out.append((jnp.where(row_ok, seg_lo, 0),
+                                jnp.where(row_ok, seg_hi, 0)))
+                return out
+
+            def sweep(state, make_body):
+                """One pass over every segment this tile owns: all fast-math
+                tiers in ONE merged loop, then degenerate + XL in a second
+                full-math merged loop (with the per-chunk bbox prefilter)."""
+                fast, full = [], []
+                for tier, span, full_math in MULTI_TIERS:
+                    (full if full_math else fast).extend(tier_ranges(tier, span))
+                full.append((starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
+                             starts_ref[b, MULTI_N_TIERS * ntiles]))
+                state = scan_ranges(state, fast, make_body(False))
+                return scan_ranges(
+                    state, full, make_body(True),
+                    # the tail kernel's one tile covers the whole image — nothing
+                    # to skip there
+                    prefilter=ntiles > 1,
                 )
-                any_touch = jnp.max(
-                    jnp.where(touch, 1.0, 0.0).astype(jnp.float32)
-                ) > 0.0
-                return jax.lax.cond(any_touch, evaluate, lambda s: s, st)
 
-            return jax.lax.fori_loop(0, total, body, state)
+            # one z-scan sweep; with attrs the winner's interpolated values are
+            # computed IN-LOOP: the interpolation coefficients are exactly the
+            # clamped barycentrics the depth computation already produced, so
+            # per-chunk interpolation costs 6 FMAs/channel on [P, CHUNK] plus
+            # one exact one-hot lane reduction per channel — the earlier
+            # winner-ROW extraction (3-pass exact-split MXU contraction per
+            # chunk, then an out-of-kernel coefficient recompute) measured
+            # ~20 ms of the B=16 pyramid and is gone entirely.
+            def eval_body(full):
+                def body_fn(scr, pos, start, end, st):
+                    zb, wb = st[0], st[1]
+                    depth, cov, co0, co1, co2 = _eval_levels(
+                        scr, blocks, Xf, Yf, perspective, eps, full)
+                    cov = cov & (pos >= start) & (pos < end)
+                    ids = scr[9:10, :]
+                    zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
+                    zc = jnp.max(zm, axis=1, keepdims=True)
+                    idc = jnp.min(
+                        jnp.where(cov & (zm == zc), ids, _BIG_ID),
+                        axis=1, keepdims=True,
+                    )
+                    better = zc > zb
+                    equal = zc == zb
+                    new = list(st)
+                    if n_attr:
+                        sel = better | (equal & (idc < wb))
+                        # exactly one lane matches (idc is the unique min id at
+                        # max depth), so the masked lane sum IS the winner's
+                        # value — exact, no rounding. The interpolation
+                        # expression (co0*A0 + co1*A1) + co2*A2 mirrors the
+                        # dense oracle's `_interp_from_win` order bit-for-bit.
+                        pick = cov & (zm == zc) & (ids == idc)
+                        cols = []
+                        for c in range(n_attr):
+                            a0 = scr[10 + c:11 + c, :]
+                            a1 = scr[10 + n_attr + c:11 + n_attr + c, :]
+                            a2 = scr[10 + 2 * n_attr + c:11 + 2 * n_attr + c, :]
+                            valc = co0 * a0 + co1 * a1 + co2 * a2
+                            cols.append(jnp.sum(
+                                jnp.where(pick, valc, 0.0),
+                                axis=1, keepdims=True,
+                            ))
+                        vals_c = jnp.concatenate(cols, axis=1)  # [P_pad, C]
+                        new[2] = jnp.where(sel, vals_c, st[2])
+                    new[1] = jnp.where(
+                        better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb))
+                    new[0] = jnp.maximum(zb, zc)
+                    return tuple(new)
 
-        def tier_ranges(tier, span):
-            """This tile's (start, end) sorted-array segments for one tier:
-            one contiguous segment per home row in the span neighborhood."""
-            base = tier * ntiles
-            col_lo = jnp.maximum(tx - (span - 1), 0)
-            out = []
-            for dy in range(span):
-                row = ty - dy
-                row_ok = row >= 0
-                row_safe = jnp.maximum(row, 0)
-                seg_lo = starts_ref[b, base + row_safe * ntx + col_lo]
-                seg_hi = starts_ref[b, base + row_safe * ntx + tx + 1]
-                out.append((jnp.where(row_ok, seg_lo, 0),
-                            jnp.where(row_ok, seg_hi, 0)))
-            return out
+                return body_fn
 
-        def sweep(state, make_body):
-            """One pass over every segment this tile owns: all fast-math
-            tiers in ONE merged loop, then degenerate + XL in a second
-            full-math merged loop (with the per-chunk bbox prefilter)."""
-            fast, full = [], []
-            for tier, span, full_math in MULTI_TIERS:
-                (full if full_math else fast).extend(tier_ranges(tier, span))
-            full.append((starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
-                         starts_ref[b, MULTI_N_TIERS * ntiles]))
-            state = scan_ranges(state, fast, make_body(False))
-            return scan_ranges(
-                state, full, make_body(True),
-                # the tail kernel's one tile covers the whole image — nothing
-                # to skip there
-                prefilter=ntiles > 1,
-            )
+            state = (
+                jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
+                jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
+            ) + ((jnp.zeros((P_pad, n_attr), jnp.float32),) if n_attr else ())
+            state = sweep(state, eval_body)
+            zb, wb = state[0], state[1]
 
-        # one z-scan sweep; with attrs the winner's interpolated values are
-        # computed IN-LOOP: the interpolation coefficients are exactly the
-        # clamped barycentrics the depth computation already produced, so
-        # per-chunk interpolation costs 6 FMAs/channel on [P, CHUNK] plus
-        # one exact one-hot lane reduction per channel — the earlier
-        # winner-ROW extraction (3-pass exact-split MXU contraction per
-        # chunk, then an out-of-kernel coefficient recompute) measured
-        # ~20 ms of the B=16 pyramid and is gone entirely.
-        def eval_body(full):
-            def body_fn(scr, pos, start, end, st):
-                zb, wb = st[0], st[1]
-                depth, cov, co0, co1, co2 = _eval_levels(
-                    scr, blocks, Xf, Yf, perspective, eps, full)
-                cov = cov & (pos >= start) & (pos < end)
-                ids = scr[9:10, :]
-                zm = jnp.where(cov, depth, _NEG_INF)  # [P_pad, CHUNK]
-                zc = jnp.max(zm, axis=1, keepdims=True)
-                idc = jnp.min(
-                    jnp.where(cov & (zm == zc), ids, _BIG_ID),
-                    axis=1, keepdims=True,
-                )
-                better = zc > zb
-                equal = zc == zb
-                new = list(st)
-                if n_attr:
-                    sel = better | (equal & (idc < wb))
-                    # exactly one lane matches (idc is the unique min id at
-                    # max depth), so the masked lane sum IS the winner's
-                    # value — exact, no rounding. The interpolation
-                    # expression (co0*A0 + co1*A1) + co2*A2 mirrors the
-                    # dense oracle's `_interp_from_win` order bit-for-bit.
-                    pick = cov & (zm == zc) & (ids == idc)
-                    cols = []
-                    for c in range(n_attr):
-                        a0 = scr[10 + c:11 + c, :]
-                        a1 = scr[10 + n_attr + c:11 + n_attr + c, :]
-                        a2 = scr[10 + 2 * n_attr + c:11 + 2 * n_attr + c, :]
-                        valc = co0 * a0 + co1 * a1 + co2 * a2
-                        cols.append(jnp.sum(
-                            jnp.where(pick, valc, 0.0),
-                            axis=1, keepdims=True,
-                        ))
-                    vals_c = jnp.concatenate(cols, axis=1)  # [P_pad, C]
-                    new[2] = jnp.where(sel, vals_c, st[2])
-                new[1] = jnp.where(
-                    better, idc, jnp.where(equal, jnp.minimum(wb, idc), wb))
-                new[0] = jnp.maximum(zb, zc)
-                return tuple(new)
+            if n_attr:
+                # cols 0..C-1: interpolated values (0 background); col C:
+                # winner id (-1 background) — ids < 2^24 exact in f32
+                vals = jnp.concatenate([state[2], wb], axis=1)
+                bg = jnp.concatenate(
+                    [jnp.zeros((P_pad, n_attr), jnp.float32),
+                     jnp.full((P_pad, 1), -1.0, jnp.float32)], axis=1)
+                win_ref[b, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
+            else:
+                win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
+                win_ref[b, 0, :, :] = win
+            return carry
 
-            return body_fn
-
-        state = (
-            jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
-            jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
-        ) + ((jnp.zeros((P_pad, n_attr), jnp.float32),) if n_attr else ())
-        state = sweep(state, eval_body)
-        zb, wb = state[0], state[1]
-
-        if n_attr:
-            # cols 0..C-1: interpolated values (0 background); col C:
-            # winner id (-1 background) — ids < 2^24 exact in f32
-            vals = jnp.concatenate([state[2], wb], axis=1)
-            bg = jnp.concatenate(
-                [jnp.zeros((P_pad, n_attr), jnp.float32),
-                 jnp.full((P_pad, 1), -1.0, jnp.float32)], axis=1)
-            win_ref[0, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
-        else:
-            win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
-            win_ref[0, 0, :, :] = win
+        jax.lax.fori_loop(0, B, per_b, 0)
 
     return kernel, P_pad
 
@@ -1070,17 +1080,21 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
 
     def run(n_lv, tile_k, ntx_k, level0, starts_k, chunk):
         kernel, P_pad = _make_kernel_multi(
-            top, n_lv, ntx_k, ntx_k, perspective, eps, tile_k,
+            top, n_lv, ntx_k, ntx_k, perspective, eps, tile_k, B,
             n_attr=n_attr, level0=level0, chunk=chunk,
         )
         offs = _multi_level_rows(top, n_lv, tile_k, level0)[1]
         ntl = ntx_k * ntx_k
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, ntl),
+            # batch is folded INSIDE each grid step (fori_loop in the
+            # kernel): the per-step fixed cost — row-coordinate setup,
+            # grid bookkeeping, output-block handling — is paid per TILE,
+            # not per (batch, tile)
+            grid=(ntl,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, 1, P_pad, out_ch), lambda b, t, starts: (b, t, 0, 0)
+                (B, 1, P_pad, out_ch), lambda t, starts: (0, t, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, n_rows, chunk), jnp.float32),
