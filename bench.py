@@ -82,9 +82,11 @@ def _bench_mode(mode: str, batch: int, n_iters: int) -> float:
 
 
 def _check_fused_exact(batch: int = 2) -> dict:
-    """On-chip exactness audit of the fused pyramid (VERDICT r3 #4): compare
-    ``rasterize_pyramid_fused`` (in-kernel interpolation) against the full
-    DENSE oracle (dense winner search + gather interpolation,
+    """On-chip exactness audit of the fused pyramid (VERDICT r3 #4): the
+    WINNER side runs the raw multi-level kernel (attrs=None) and the VALUES
+    side runs the production wrapper ``rasterize_pyramid_fused`` (the full
+    custom-VJP glue the GAR forward uses), each compared against the DENSE
+    oracle (dense winner search + gather interpolation,
     rasterize.py::_interp_from_win) at every level of the 7-level production
     pyramid. Records whether winner maps and interpolated values are
     BITWISE equal, and the max abs value difference if not."""
@@ -108,13 +110,16 @@ def _check_fused_exact(batch: int = 2) -> dict:
     norm = mesh_point_normal(vert, tri)
     sizes = [256 >> k for k in range(7)]  # 256 .. 4
 
-    fused = jax.jit(
-        lambda v, n: rasterize_winners_pallas_multi(
-            v, tri, 256, 7, attrs=n)
-    )(vert, norm)
+    wins_f = jax.jit(
+        lambda v: rasterize_winners_pallas_multi(v, tri, 256, 7)
+    )(vert)
+    vals_f = jax.jit(
+        lambda v, n: rasterize_pyramid_fused(
+            v, n, tri, sizes, method="pallas_multi")
+    )(vert, norm.astype(jnp.float32))
 
     win_exact, val_exact, max_diff = True, True, 0.0
-    for (val_f, win_f), s in zip(fused, sizes):
+    for win_f, val_f, s in zip(wins_f, vals_f, sizes):
         win_o = _dispatch_winners(vert, tri, s, s, False, 1e-6, "dense")
         val_o = _interp_from_win(
             vert, norm.astype(jnp.float32), tri, win_o, s, s, False, 1e-6

@@ -470,7 +470,11 @@ def _make_kernel(h, w, ntx, nty, perspective, eps, tile=TILE):
 
         zb, wb = state
         win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
-        win_ref[b, 0, :, :] = win.reshape(tile, tile)
+        # out BlockSpec is (1, 1, tile, tile) indexed (b, t, 0, 0): the
+        # kernel-visible block IS the per-(b, t) slice, so the store indexes
+        # [0, 0] — indexing with b here would be OOB for every b >= 1 (the
+        # ADVICE r4 high finding; dynamic-slice clamping masked it on CPU)
+        win_ref[0, 0, :, :] = win.reshape(tile, tile)
 
     return kernel
 
