@@ -51,7 +51,8 @@ def _bench_mode(mode: str, batch: int, n_iters: int) -> float:
     # batch, so the mesh must be loop-VARIANT in the timing scan — otherwise
     # XLA hoists the whole rasterization out of the loop (measured: it does)
     dv = jax.random.normal(jax.random.PRNGKey(4), (n_iters, 1, 1, 3)) * 1e-4
-    variables = gen.init(
+    # jitted init: eager runs op-by-op at ~15-20 ms/dispatch on this backend
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
         [z[0]], (vert, norm, tri),
     )

@@ -53,7 +53,9 @@ def main():
     gen = GeneratorWithMap(size, latent, 8, dtype=jnp.bfloat16,
                            pyramid_mode="downsample", remat=True)
     z = jax.random.normal(jax.random.PRNGKey(2), (b1k, latent))
-    variables = gen.init(
+    # jit the init: eager execution costs ~15-20 ms/dispatch on this backend,
+    # so an un-jitted 1024px init alone would run tens of minutes
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(3), "noise": jax.random.PRNGKey(4)},
         [z], (vert[:b1k], norm[:b1k], tri),
     )

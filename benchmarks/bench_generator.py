@@ -20,7 +20,7 @@ def main():
                            pyramid_mode="downsample")
     face, tri, vert, norm = production_face(B)
     z = jax.random.normal(jax.random.PRNGKey(1), (B, latent))
-    variables = gen.init(
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
         [z], (vert, norm, tri),
     )

@@ -44,7 +44,7 @@ def main(iters: int = 300, batch: int = 1, pyramid_mode: str = "downsample"):
                            pyramid_mode=pyramid_mode)
     face, tri, vert, norm = production_face(batch)
     z0 = jnp.zeros((batch, latent))
-    variables = gen.init(
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
         [z0], (vert, norm, tri),
     )

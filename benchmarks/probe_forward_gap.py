@@ -45,13 +45,14 @@ def main(iters=10):
                            pyramid_mode="each")
     face, tri, vert, norm = production_face(B)
     z = jax.random.normal(jax.random.PRNGKey(1), (B, latent))
-    variables = gen.init(
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
         [z], (vert, norm, tri),
     )
     params = variables["params"]
     latent_full = jnp.tile(
-        gen.apply({"params": params}, z, method=gen.get_latent)[:, None, :],
+        jax.jit(lambda p, zz: gen.apply(
+            {"params": p}, zz, method=gen.get_latent))(params, z)[:, None, :],
         (1, gen.n_latent, 1),
     )
     zero_noise = [jnp.zeros((1, 1, 1, 1))] * gen.num_layers

@@ -56,7 +56,7 @@ def main(iters=10):
                            pyramid_mode="each")
     face, tri, vert, norm = production_face(B)
     z = jax.random.normal(jax.random.PRNGKey(1), (B, latent))
-    variables = gen.init(
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
         [z], (vert, norm, tri),
     )

@@ -56,26 +56,30 @@ def main(argv=None):
     from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
     from stylerenderer_tpu.inversion.project import _apply_pose
     from stylerenderer_tpu.models import Regressor
-    from stylerenderer_tpu.train import init_train_state, make_models
+    from stylerenderer_tpu.train import make_models
     from stylerenderer_tpu.train.regressor import (
         make_regressor_fn, make_regressor_trainer,
     )
-    from stylerenderer_tpu.utils.checkpoint import load_checkpoint
+    from stylerenderer_tpu.utils.checkpoint import load_params_only
     from stylerenderer_tpu.utils.config import TrainConfig
 
     os.makedirs(OUT, exist_ok=True)
 
-    # the train_demo256 run's exact config (scripts/train_demo256.py)
+    # the train_demo256 run's exact config (scripts/train_demo256.py).
+    # load_params_only skips the template init — an EAGER 256px gen+disc
+    # init costs tens of minutes on this backend (~15-20 ms/dispatch)
     cfg = TrainConfig(size=256, batch=16, compute_dtype="bfloat16")
     face, tri = synthetic_face(48, 96, 80, 29)
     gen, _disc = make_models(cfg)
     x0 = face.random_input(jax.random.PRNGKey(0), 2)
     v0 = face(x0)
-    n0 = mesh_point_normal(v0, tri)
-    template = init_train_state(cfg, jax.random.PRNGKey(1), (v0, n0, tri))
-    state, _ = load_checkpoint(os.path.join(DEMO, "checkpoint"), template)
-    g_params = jax.device_get(state.g_ema)
-    del state, template
+    state, _ = load_params_only(os.path.join(DEMO, "checkpoint"))
+    # numpy closure constants get EMBEDDED into the lowered HLO; at 256px
+    # that blows past the remote-compile relay's request-size limit
+    # (HTTP 413, measured round 5) — device arrays are passed as buffers
+    g_params = jax.tree_util.tree_map(jnp.asarray, state["g_ema"])
+    del state
+    print("checkpoint loaded", flush=True)
 
     size = cfg.size
     nv = v0.shape[1]
@@ -104,13 +108,10 @@ def main(argv=None):
 
     # the Regressor emits a pixel-normed direction; rescale to the mean
     # radius of real mapped latents so Adam starts at the right magnitude
-    w_sample = gen.apply(
-        {"params": g_params},
-        jax.random.normal(jax.random.PRNGKey(17), (256, cfg.latent)),
-        method=gen.get_latent,
-    )
-    w_norm = float(jnp.sqrt(jnp.mean(w_sample**2)))
-    reg_params = jax.device_get(rstate.params)
+    w_norm = float(jax.jit(lambda p, z: jnp.sqrt(jnp.mean(
+        gen.apply({"params": p}, z, method=gen.get_latent) ** 2
+    )))(g_params, jax.random.normal(jax.random.PRNGKey(17), (256, cfg.latent))))
+    reg_params = rstate.params  # keep as device arrays (HLO-size, see above)
     regressor_fn = make_regressor_fn(reg, reg_params, w_norm)
     del rstate
 

@@ -56,9 +56,14 @@ def make_regressor_trainer(
         return jax.lax.stop_gradient(img), jax.lax.stop_gradient(w)
 
     def init_fn(rng):
+        # everything under jit: on the axon backend EAGER execution costs a
+        # ~15-20 ms dispatch round-trip PER PRIMITIVE, so an un-jitted 256px
+        # generator forward here takes tens of minutes (measured round 5)
         k1, k2 = jax.random.split(rng)
-        img, _ = sample_batch(k1)
-        params = regressor.init(k2, img)["params"]
+        img_shape = jax.eval_shape(sample_batch, k1)[0]  # no device work
+        params = jax.jit(lambda k, s: regressor.init(k, s)["params"])(
+            k2, jnp.zeros(img_shape.shape, img_shape.dtype)
+        )
         return RegressorState(
             params=params, opt=tx.init(params),
             step=jnp.zeros((), jnp.int32), rng=rng,

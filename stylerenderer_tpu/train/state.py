@@ -59,9 +59,23 @@ def make_models(cfg: TrainConfig):
 
 def init_train_state(cfg: TrainConfig, rng, mesh_example) -> TrainState:
     """Initialize params/EMA/optimizers. ``mesh_example`` = (vert, norm, tri)
-    with the production vertex/triangle counts (shapes are baked into jit)."""
+    with the production vertex/triangle counts (shapes are baked into jit).
+
+    The whole init runs under ONE jit: on the axon backend eager execution
+    costs a ~15-20 ms dispatch round-trip per primitive, so an un-jitted
+    256px init (hundreds of layer inits + the pyramid rasterization) takes
+    tens of minutes (measured round 5)."""
     gen, disc = make_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
+
+    @jax.jit
+    def _init(rng, mesh_example):
+        return _build_state(cfg, gen, disc, g_tx, d_tx, rng, mesh_example)
+
+    return _init(rng, mesh_example)
+
+
+def _build_state(cfg, gen, disc, g_tx, d_tx, rng, mesh_example):
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     z = jnp.zeros((2, cfg.latent))
     g_vars = gen.init({"params": k1, "noise": k2}, [z], mesh_example)
