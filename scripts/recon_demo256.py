@@ -139,19 +139,33 @@ def main(argv=None):
         return jnp.clip(img.astype(jnp.float32), -1, 1), vert
 
     lpips_apply, lpips_params = load_lpips("vgg")
-    lpips_fn = lambda a, b: lpips_apply(lpips_params, a, b)
+
+    # param trees are passed as JIT ARGUMENTS, not closures: captured
+    # constants are embedded by value into the lowered HLO, and g_ema +
+    # VGG16 + Regressor weights together exceed the remote-compile relay's
+    # request-size limit (HTTP 413, measured round 5 — twice)
+    def make_cfg_runner(iters, use_reg):
+        pcfg = ProjectorConfig(iters=iters, w_lpips=0.8, w_lmk=1e-3)
+
+        @jax.jit
+        def run(gp, lp, rp, k, target, target_lmk):
+            lfn = lambda a, b: lpips_apply(lp, a, b)
+            rfn = None
+            if use_reg:
+                rfn = lambda img: reg.apply({"params": rp}, img) * w_norm
+            project = make_projector(
+                gen, gp, face, tri, pcfg, lpips_fn=lfn,
+                lmk_vidx=lmk_vidx, regressor_fn=rfn,
+            )
+            return project(k, target, target_lmk)
+
+        return lambda k, t, tl: run(g_params, lpips_params, reg_params,
+                                    k, t, tl)
 
     configs = {}
     for iters in (args.iters_short, args.iters_full):
-        pcfg = ProjectorConfig(iters=iters, w_lpips=0.8, w_lmk=1e-3)
-        configs[f"mean_init_{iters}"] = jax.jit(make_projector(
-            gen, g_params, face, tri, pcfg, lpips_fn=lpips_fn,
-            lmk_vidx=lmk_vidx,
-        ))
-        configs[f"regressor_init_{iters}"] = jax.jit(make_projector(
-            gen, g_params, face, tri, pcfg, lpips_fn=lpips_fn,
-            lmk_vidx=lmk_vidx, regressor_fn=regressor_fn,
-        ))
+        configs[f"mean_init_{iters}"] = make_cfg_runner(iters, False)
+        configs[f"regressor_init_{iters}"] = make_cfg_runner(iters, True)
 
     # ---- stage 3: batch inversion under each config ----
     results = {k: {"pixel_mse": [], "psnr": [], "lmk_err_px": [],

@@ -39,7 +39,7 @@ def main(argv=None):
     from PIL import Image
 
     from stylerenderer_tpu.face3d import load_bfm, synthetic_face, save_obj
-    from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
+    from stylerenderer_tpu.inversion import ProjectorConfig, make_projector_jit
     from stylerenderer_tpu.models import GeneratorWithMap
     from stylerenderer_tpu.utils.image import save_image_grid
 
@@ -55,7 +55,7 @@ def main(argv=None):
     v0 = face(x0)
     n0 = mesh_point_normal(v0, tri)
     z0 = jnp.zeros((1, args.latent))
-    variables = gen.init(
+    variables = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
         [z0], (v0, n0, tri),
     )
@@ -68,18 +68,16 @@ def main(argv=None):
             jnp.asarray, state.get("g_ema", state.get("g_params"))
         )
 
-    lpips_fn = None
+    lpips = None
     if args.w_lpips > 0:
         from stylerenderer_tpu.eval import load_lpips
 
-        lp_apply, lp_params = load_lpips(
-            "vgg", backbone_weights=args.vgg_weights or None
-        )
-        lpips_fn = lambda a, b: lp_apply(lp_params, a, b)
+        lpips = load_lpips("vgg", backbone_weights=args.vgg_weights or None)
 
     cfg = ProjectorConfig(iters=args.iters, lr=args.lr, w_lpips=args.w_lpips)
-    project = jax.jit(make_projector(gen, params, face, tri, cfg,
-                                     lpips_fn=lpips_fn))
+    # params as jit args, not closures: captured trees are embedded into the
+    # lowered HLO and can exceed compile-service request limits at 256px
+    project = make_projector_jit(gen, face, tri, cfg, lpips=lpips)
 
     # load targets
     imgs = []
@@ -88,7 +86,7 @@ def main(argv=None):
         imgs.append(np.asarray(img, np.float32) / 127.5 - 1.0)
     target = jnp.asarray(np.stack(imgs))
 
-    out = project(jax.random.PRNGKey(args.seed), target)
+    out = project(params, jax.random.PRNGKey(args.seed), target)
     hist = np.asarray(out["loss_history"])
     print(f"loss: {hist[0]:.4f} -> {hist[-1]:.4f} over {args.iters} iters")
     save_image_grid(os.path.join(args.out, "render.png"), np.asarray(out["render"]))
