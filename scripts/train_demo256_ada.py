@@ -1,9 +1,13 @@
-"""ADA at production resolution (VERDICT r4 #6): resume the committed
-256², batch-16 checkpoint (train_demo256/, 3k steps) and run further steps
-WITH the ADA controller — the reference's protocol trains with ADA on
-(/root/reference/train.py:473-484) and round 4 only ever exercised it at
-64px on chip. Demonstrates on hardware that at 256px ada_p moves off zero
-under the sign(real_pred) heuristic and r_t behaves.
+"""ADA at production resolution (VERDICT r4 #6): run 256², batch-16
+training steps WITH the ADA controller — the reference's protocol trains
+with ADA on (/root/reference/train.py:473-484) and round 4 only ever
+exercised it at 64px on chip. Demonstrates on hardware that at 256px
+ada_p moves off zero under the sign(real_pred) heuristic and r_t behaves.
+
+Resumes the train_demo256 checkpoint when it exists locally; otherwise
+(the checkpoint is .gitignored — a fresh workspace has only the committed
+logs/samples) trains from scratch, which matches the reference protocol
+even more closely (ADA is on from step 0 there).
 
 ``--ada_length`` defaults to 30k images (reference default is 500k) so the
 controller's response is visible within a 2k-step demonstration: the step
@@ -39,27 +43,36 @@ def main():
     p.add_argument("--ada_length", type=int, default=30_000)
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_fid", action="store_true")
+    p.add_argument("--n_data", type=int, default=2000)
     args = p.parse_args()
     base = os.path.abspath(BASE)
     out = os.path.abspath(OUT)
     data = os.path.join(base, "faces256.srpack")
-    assert os.path.exists(data), "run scripts/train_demo256.py first"
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+    if not os.path.exists(data):
+        from stylerenderer_tpu.data.synth import write_synth_dataset
+
+        print(f"rendering {args.n_data} synthetic 256px faces -> {data}",
+              flush=True)
+        os.makedirs(base, exist_ok=True)
+        write_synth_dataset(data, args.n_data, size=256, batch=16)
+
     if not args.skip_train:
         from stylerenderer_tpu.utils.checkpoint import latest_step
 
-        start = latest_step(os.path.join(base, "checkpoint")) or 0
+        ckpt_dir = os.path.join(base, "checkpoint")
+        start = (latest_step(ckpt_dir) or 0) if os.path.isdir(ckpt_dir) else 0
         from stylerenderer_tpu.cli.train import main as train_main
 
         train_main([
             data, "--size", "256", "--batch", str(args.batch),
             "--iter", str(start + args.steps), "--seed", "23",
             "--compute_dtype", "bfloat16",
-            "--ckpt", os.path.join(base, "checkpoint"),
+            *(["--ckpt", ckpt_dir] if start else []),
             "--augment", "--ada_length", str(args.ada_length),
             "--ckpt_every", str(args.steps), "--ckpt_keep", "2",
             "--sample_every", str(max(args.steps // 4, 1)),
@@ -101,9 +114,11 @@ def main():
 
     plot(out, title="256px + ADA (resumed from 3k)")
     if not args.skip_fid:
-        # backfill the base run's FID trend, then this run's
-        fid_trend(base, data, size=256, n_sample=2000)
-        plot(base, title="256px, batch 16, synthetic faces")
+        # backfill the base run's FID trend when its checkpoints are still
+        # on disk (they are .gitignored, so a fresh workspace lacks them)
+        if os.path.isdir(os.path.join(base, "checkpoint")):
+            fid_trend(base, data, size=256, n_sample=2000)
+            plot(base, title="256px, batch 16, synthetic faces")
         fid_trend(out, data, size=256, n_sample=2000)
         plot(out, title="256px + ADA (resumed from 3k)")
 

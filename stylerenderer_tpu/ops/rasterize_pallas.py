@@ -929,18 +929,20 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile, B,
                                 jnp.where(row_ok, seg_hi, 0)))
                 return out
 
+            fast_ranges, full_ranges = [], []
+            for tier, span, full_math in MULTI_TIERS:
+                (full_ranges if full_math else fast_ranges).extend(
+                    tier_ranges(tier, span))
+            full_ranges.append((starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
+                                starts_ref[b, MULTI_N_TIERS * ntiles]))
+
             def sweep(state, make_body):
                 """One pass over every segment this tile owns: all fast-math
                 tiers in ONE merged loop, then degenerate + XL in a second
                 full-math merged loop (with the per-chunk bbox prefilter)."""
-                fast, full = [], []
-                for tier, span, full_math in MULTI_TIERS:
-                    (full if full_math else fast).extend(tier_ranges(tier, span))
-                full.append((starts_ref[b, (MULTI_N_TIERS - 1) * ntiles],
-                             starts_ref[b, MULTI_N_TIERS * ntiles]))
-                state = scan_ranges(state, fast, make_body(False))
+                state = scan_ranges(state, fast_ranges, make_body(False))
                 return scan_ranges(
-                    state, full, make_body(True),
+                    state, full_ranges, make_body(True),
                     # the tail kernel's one tile covers the whole image — nothing
                     # to skip there
                     prefilter=ntiles > 1,
@@ -997,24 +999,48 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile, B,
 
                 return body_fn
 
-            state = (
-                jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
-                jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
-            ) + ((jnp.zeros((P_pad, n_attr), jnp.float32),) if n_attr else ())
-            state = sweep(state, eval_body)
-            zb, wb = state[0], state[1]
+            # empty-(b, tile) fast exit: when every range this tile owns is
+            # empty (typical for ~half the tiles of a portrait render — the
+            # background — and for ALL tiles on a fully-culled mesh), skip
+            # both scan loops entirely. Each fori_loop boundary forces the
+            # carried [P_pad, 1+1+C] winner state through VMEM even at zero
+            # trips (~0.6 us each, benchmarks/probe_ranges.py), so the skip
+            # removes the whole in-kernel fixed cost, leaving only the
+            # scalar range reads + the background store. XL is usually empty
+            # on real meshes (degenerates are routed to their own small
+            # tier), so the XL term rarely defeats the test.
+            total_all = jnp.int32(0)
+            for lo, hi in fast_ranges + full_ranges:
+                total_all = total_all + (hi - lo)
 
             if n_attr:
-                # cols 0..C-1: interpolated values (0 background); col C:
-                # winner id (-1 background) — ids < 2^24 exact in f32
-                vals = jnp.concatenate([state[2], wb], axis=1)
                 bg = jnp.concatenate(
                     [jnp.zeros((P_pad, n_attr), jnp.float32),
                      jnp.full((P_pad, 1), -1.0, jnp.float32)], axis=1)
-                win_ref[b, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
             else:
-                win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
-                win_ref[b, 0, :, :] = win
+                bg = jnp.full((P_pad, 1), -1, jnp.int32)
+
+            @pl.when(total_all == 0)
+            def _():
+                win_ref[b, 0, :, :] = bg
+
+            @pl.when(total_all > 0)
+            def _():
+                state = (
+                    jnp.full((P_pad, 1), _NEG_INF, jnp.float32),
+                    jnp.full((P_pad, 1), _BIG_ID, jnp.float32),
+                ) + ((jnp.zeros((P_pad, n_attr), jnp.float32),)
+                     if n_attr else ())
+                state = sweep(state, eval_body)
+                zb, wb = state[0], state[1]
+                if n_attr:
+                    # cols 0..C-1: interpolated values (0 background); col C:
+                    # winner id (-1 background) — ids < 2^24 exact in f32
+                    vals = jnp.concatenate([state[2], wb], axis=1)
+                    win_ref[b, 0, :, :] = jnp.where(zb > _NEG_INF, vals, bg)
+                else:
+                    win = jnp.where(zb > _NEG_INF, wb, -1.0).astype(jnp.int32)
+                    win_ref[b, 0, :, :] = win
             return carry
 
         jax.lax.fori_loop(0, B, per_b, 0)
