@@ -46,7 +46,12 @@ def main(B=16, iters=10):
     nv = vert.shape[1]
     print(f"B={B} nf={nf}", flush=True)
 
-    # (a) the batch-shared corner gather alone (build_bins_multi's attr prep)
+    # (a) the batch-shared corner gather alone (build_bins_multi's attr
+    # prep). `norm + mean(v)*0` makes the source loop-VARIANT so XLA cannot
+    # constant-fold the gather (profile_fused closed over `norm`, which let
+    # XLA fold it — its "fused pyramid 51 ms" row was missing ~20 ms of
+    # gather that the real model pays; probe_forward_gap's 71 ms
+    # normal_pyramid row is the truth).
     def corner_gather(v):
         ab = (norm + jnp.mean(v) * 0.0).astype(jnp.float32)
         Bc, nvc, C = ab.shape
@@ -55,6 +60,26 @@ def main(B=16, iters=10):
         return jnp.mean(av)
 
     timed(corner_gather, vert, iters, "corner gather [3nf] x [B*C] rows")
+
+    # (a2) batch-LEADING vmapped corner gather (the _setup formulation,
+    # which the winner-mode binning totals imply is much cheaper)
+    tri_safe = jnp.clip(tri, 0, nv - 1)
+
+    def corner_gather_lead(v):
+        ab = (norm + jnp.mean(v) * 0.0).astype(jnp.float32)
+        av = jax.vmap(lambda a: a[tri_safe])(ab)  # [B, nf, 3, C]
+        return jnp.mean(av)
+
+    timed(corner_gather_lead, vert, iters, "corner gather batch-leading vmap")
+
+    # (a3) positions+attrs in ONE batch-leading gather (what build_bins
+    # would pay if _setup's gather also fetched the attr channels)
+    def corner_gather_both(v):
+        src = jnp.concatenate([v, norm], axis=-1).astype(jnp.float32)
+        av = jax.vmap(lambda a: a[tri_safe])(src)  # [B, nf, 3, 6]
+        return jnp.mean(av)
+
+    timed(corner_gather_both, vert, iters, "corner gather pos+attr combined")
 
     # (b/c) sorts at 11 vs 20 operands on real projected data
     def sort_n(v, n_attr_ops):

@@ -540,6 +540,21 @@ def bin_overflow(v, tri, h, w, perspective=False, eps=1e-6):
 # ---------------------------------------------------------------------------
 
 
+def _sparse_sp(top: int, wl: int, tile: int) -> tuple[int, int]:
+    """Owned-tile stride/phase of a SPARSE pyramid level (one whose pixels
+    are larger than a tile): level-k pixel ``p`` (k = log2(top/wl)) has its
+    center at top coords ``(p+0.5)*2^k - 0.5``, which lies inside exactly
+    ONE tile — ``tx = p*S + phase`` with ``S = 2^k/tile`` and
+    ``phase = (2^(k-1)-1) // tile``. The tile that owns the center is the
+    only tile whose worklist must evaluate that pixel: coverage of the
+    center implies the center is inside the triangle's float bbox, so the
+    bbox touches the owning tile and the triangle's home lies in the
+    owning tile's span neighborhood — the exact invariant the dense levels
+    rely on (see build_bins_multi)."""
+    step = top // wl  # 2^k
+    return step // tile, (step // 2 - 1) // tile
+
+
 def _multi_level_rows(top: int, n_levels: int, tile: int, level0: int = 0):
     """Static per-pixel-row tables for ``n_levels`` pyramid levels starting
     at ``level0`` (level k renders ``top >> (level0+k)`` px from coords
@@ -556,11 +571,19 @@ def _multi_level_rows(top: int, n_levels: int, tile: int, level0: int = 0):
     Dead pad rows get xoff far outside any level's bbox clamp, so their
     coverage is identically false.
 
+    Levels with pixels LARGER than a tile (``tile >> k == 0`` — the 8/4 px
+    pyramid tail at top=256/tile=16) are SPARSE: each of their pixels is
+    owned by exactly one tile (see ``_sparse_sp``), so they cost one 8-row
+    block whose single live row is active only on owning tiles. This is
+    what lets the whole pyramid run in ONE kernel pass (the earlier design
+    ran a second single-tile kernel streaming the whole mesh again for
+    these levels — measured ~4.3 ms/16 imgs of pure re-scan).
+
     Returns (P_pad, offsets per level, blocks, inv [P,1], wl [P,1],
     hl [P,1], xoff [P,1], yoff [P,1], tl [P,1]) as numpy f32 — row p of a
     tile handles pixel (xoff, yoff) within that tile at level k(p);
     ``blocks[k] = (offset, padded rows, tl, wl, inv)`` mirrors the same
-    layout statically."""
+    layout statically (``tl = 0`` marks a sparse level)."""
     rows_inv, rows_w, rows_h, rows_x, rows_y, rows_t = [], [], [], [], [], []
     offsets = []
     blocks = []
@@ -569,16 +592,17 @@ def _multi_level_rows(top: int, n_levels: int, tile: int, level0: int = 0):
         tl = tile >> k
         wl = top >> (level0 + k)
         offsets.append(p)
-        pk = -(-(tl * tl) // 8) * 8
+        pk = -(-(tl * tl) // 8) * 8 if tl else 8
         blocks.append((p, pk, tl, wl, 1.0 / (1 << (level0 + k))))
-        for i in range(tl * tl):
+        n_live = tl * tl if tl else 0  # sparse live rows are tile-dependent
+        for i in range(n_live):
             rows_inv.append(1.0 / (1 << (level0 + k)))
             rows_w.append(wl)
             rows_h.append(wl)
             rows_x.append(i % tl)
             rows_y.append(i // tl)
             rows_t.append(tl)
-        for _ in range(pk - tl * tl):  # per-level dead rows
+        for _ in range(pk - n_live):  # per-level dead rows
             rows_inv.append(1.0 / (1 << (level0 + k)))
             rows_w.append(wl)
             rows_h.append(wl)
@@ -794,19 +818,35 @@ def _make_kernel_multi(top, n_levels, ntx, nty, perspective, eps, tile, B,
         tyf = jnp.full((P_pad, 1), ty, jnp.float32)
         Xf = jnp.zeros((P_pad, 1), jnp.float32)
         Yf = jnp.zeros((P_pad, 1), jnp.float32)
+        big = jnp.float32(1.0e9)
         for off, pk, tl, wl, inv in blocks:
             pl_local = p_iota - off
             in_blk = (p_iota >= off) & (p_iota < off + pk)
-            live = pl_local < tl * tl  # per-level dead pad rows
-            x_l = (pl_local % tl).astype(jnp.float32)
-            y_l = (pl_local // tl).astype(jnp.float32)
-            # dead/pad rows get coords far outside every bbox clamp, so
-            # their coverage is identically false (as in _multi_level_rows)
-            big = jnp.float32(1.0e9)
-            x_l = jnp.where(live, x_l, big)
-            y_l = jnp.where(live, y_l, big)
-            Xf = jnp.where(in_blk, txf * tl + x_l, Xf)
-            Yf = jnp.where(in_blk, tyf * tl + y_l, Yf)
+            if tl:
+                live = pl_local < tl * tl  # per-level dead pad rows
+                x_l = (pl_local % tl).astype(jnp.float32)
+                y_l = (pl_local // tl).astype(jnp.float32)
+                # dead/pad rows get coords far outside every bbox clamp, so
+                # their coverage is identically false (_multi_level_rows)
+                x_l = jnp.where(live, x_l, big)
+                y_l = jnp.where(live, y_l, big)
+                Xf = jnp.where(in_blk, txf * tl + x_l, Xf)
+                Yf = jnp.where(in_blk, tyf * tl + y_l, Yf)
+            else:
+                # SPARSE level (pixel larger than a tile): row `off` is the
+                # level pixel owned by this tile, if any (_sparse_sp); all
+                # other rows (and non-owning tiles) are dead.
+                S, phase = _sparse_sp(top, wl, tile)
+                shift = S.bit_length() - 1
+                own_x = (tx >= phase) & (((tx - phase) & (S - 1)) == 0)
+                own_y = (ty >= phase) & (((ty - phase) & (S - 1)) == 0)
+                px_l = ((tx - phase) >> shift).astype(jnp.float32)
+                py_l = ((ty - phase) >> shift).astype(jnp.float32)
+                live = pl_local == 0
+                x_l = jnp.where(live & own_x & own_y, px_l, big)
+                y_l = jnp.where(live & own_x & own_y, py_l, big)
+                Xf = jnp.where(in_blk, x_l, Xf)
+                Yf = jnp.where(in_blk, y_l, Yf)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         tile_px = tile * (1 << level0)  # tile edge in TOP-level pixels
 
@@ -1099,9 +1139,6 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
         n_attr = attrs.shape[-1]
         assert attrs.shape[:2] == v.shape[:2], (attrs.shape, v.shape)
         assert n_attr <= 7, "fused interpolation supports <= 7 channels"
-    max_main = tile.bit_length()  # levels with >= 1 px/tile
-    n_main = min(n_levels, max_main)
-    n_tail = n_levels - n_main
     n_rows = _dat_rows(n_attr)
     out_ch = n_attr + 1 if n_attr else 1
 
@@ -1149,36 +1186,25 @@ def rasterize_winners_pallas_multi(v, tri, top: int, n_levels: int,
         )(starts_k, dat)
         return win, offs
 
-    win, offsets = run(n_main, tile, ntx, 0, starts, main_chunk)
-    if n_tail:
-        # the tail's one tile must scan EVERY valid triangle: in sort order
-        # they form one contiguous prefix [0, n_valid). Route it through TWO
-        # ranges of a (MULTI_N_TIERS+1)-entry starts array: the fast prefix
-        # (tiers 0-1, non-degenerate at every level) scans with the
-        # segment/point fallback compiled OUT (tier-0 slot, full=False —
-        # ~40% fewer VPU ops), and only the degenerate + XL span
-        # [F, n_valid) pays full math (the deg-tier slot). The z-resolve is
-        # order-independent (min-id-at-max-z), so splitting the prefix
-        # preserves winners bit-exactly.
-        F = starts[:, 2 * ntiles : 2 * ntiles + 1]  # end of fast tiers
-        V = starts[:, -1:]  # end of all valid triangles
-        zero = jnp.zeros((B, 1), jnp.int32)
-        tail_starts = jnp.concatenate([zero, F, F, V, V], axis=1)
-        win_t, offsets_t = run(n_tail, top >> max_main, 1, n_main,
-                               tail_starts, TAIL_CHUNK)
+    # ONE kernel pass covers every level: levels with >= 1 px/tile are dense
+    # row blocks; deeper levels (the 8/4 px pyramid tail) are SPARSE rows
+    # evaluated only by the tile that owns each coarse pixel's center (see
+    # _sparse_sp — the home-neighborhood invariant covers their candidate
+    # sets too, so no second whole-mesh pass is needed).
+    win, offsets = run(n_levels, tile, ntx, 0, starts, main_chunk)
 
     outs = []
     for k in range(n_levels):
         sl = top >> k
-        if k < n_main:
-            tl = tile >> k
+        tl = tile >> k
+        if tl:
             w_k = win[:, :, offsets[k]:offsets[k] + tl * tl, :]
             w_k = w_k.reshape(B, nty, ntx, tl, tl, out_ch)
             w_k = w_k.transpose(0, 1, 3, 2, 4, 5).reshape(B, sl, sl, out_ch)
         else:
-            kt = k - n_main
-            w_k = win_t[:, 0, offsets_t[kt]:offsets_t[kt] + sl * sl, :]
-            w_k = w_k.reshape(B, sl, sl, out_ch)
+            S, phase = _sparse_sp(top, sl, tile)
+            w_k = win[:, :, offsets[k], :].reshape(B, nty, ntx, out_ch)
+            w_k = w_k[:, phase::S, phase::S, :]  # [B, sl, sl, C]
         if n_attr:
             win_k = w_k[..., n_attr].astype(jnp.int32)
             outs.append((w_k[..., :n_attr], win_k))
