@@ -745,8 +745,9 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
         # benchmarks/profile_sort.py)
         extra = ()
         if n_attr:
-            extra = tuple(av[:, k, c]
-                          for k in range(3) for c in range(n_attr))
+            # av arrives [3C, nf] per batch item (nf minor, corner-major /
+            # channel-minor — the kernel's scr rows 10..9+3C order)
+            extra = tuple(av[i] for i in range(3 * n_attr))
         ops = lax.sort(
             (key.astype(jnp.int32),
              px[:, 0], px[:, 1], px[:, 2],
@@ -768,16 +769,26 @@ def build_bins_multi(v, tri, top: int, n_levels: int, perspective: bool,
     if attrs is None:
         dat, starts = jax.vmap(lambda vb: per_batch(vb, None))(v)
     else:
-        # ONE batch-shared corner gather: tri is the same for every batch
-        # item, so putting batch on the TRAILING axis turns B separate
-        # [nf*3]-index gathers (index count is what gathers cost on this
-        # chip) into a single [nf*3]-index gather of [B*C]-wide rows
+        # Corner-attribute prep: THREE batch-shared gathers along the
+        # MINOR axis of an [B*C, nv] source (one per triangle corner, nf
+        # indices each), producing [B, C, nf] blocks that are already in
+        # the exact layout the sort operands need — nf minor, no
+        # post-gather relayout. Measured (benchmarks/probe_binsplit2, 16
+        # imgs, nf=100k): this prep costs +2.6 ms over the bare 20-operand
+        # sort, vs +12.8 ms for the previous single [3nf]-index gather
+        # whose [.., B*C]-minor result had to be transposed to nf-minor
+        # (a major<->minor relayout XLA runs ~10 ms slower; profile_fused
+        # never saw it because a closed-over `norm` let XLA fold the whole
+        # prep at compile time).
         ab = attrs.astype(jnp.float32)
         B, nv, C = ab.shape
-        cidx = jnp.clip(tri, 0, nv - 1).reshape(-1)  # [3nf], batch-shared
-        av = ab.transpose(1, 0, 2).reshape(nv, B * C)[cidx]  # [3nf, B*C]
-        av = av.reshape(nf, 3, B, C).transpose(2, 0, 1, 3)  # [B, nf, 3, C]
-        dat, starts = jax.vmap(per_batch)(v, av)
+        src = ab.transpose(0, 2, 1).reshape(B * C, nv)  # [B*C, nv] nv-minor
+        avs = jnp.concatenate(
+            [src[:, jnp.clip(tri[:, k], 0, nv - 1)].reshape(B, C, nf)
+             for k in range(3)],
+            axis=1,
+        )  # [B, 3C, nf], corner-major / channel-minor
+        dat, starts = jax.vmap(per_batch)(v, avs)
     # guard padding sized for the LARGEST chunk any consumer kernel streams
     # (the tail kernel reads TAIL_CHUNK-aligned blocks from offset 0)
     padn = (-nf) % TAIL_CHUNK + TAIL_CHUNK
