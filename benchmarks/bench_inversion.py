@@ -13,7 +13,7 @@ coefficient cancellation; fixed by the [-1,2] clamp in
 rasterize._eval_candidate (+ geo-group grad clip in the projector) — see
 tests/test_inversion_stability.py. Finite since round 3.
 
-python benchmarks/bench_inversion.py [iters] [batch] [pyramid_mode]
+python benchmarks/bench_inversion.py [iters] [batch] [pyramid_mode] [segments]
 
 ``pyramid_mode`` (default "downsample", the TPU fast path) selects the
 generator's normal-map pyramid: "each" is the reference-exact one-rasterize-
@@ -33,10 +33,12 @@ import jax.numpy as jnp
 from benchmarks.common import production_face, sync
 
 
-def main(iters: int = 300, batch: int = 1, pyramid_mode: str = "downsample"):
+def main(iters: int = 300, batch: int = 1, pyramid_mode: str = "downsample",
+         segments: int = 1):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from stylerenderer_tpu.eval.lpips import load_lpips
     from stylerenderer_tpu.inversion import ProjectorConfig, make_projector
+    from stylerenderer_tpu.inversion.project import fit_segmented
     from stylerenderer_tpu.models import GeneratorWithMap
 
     size, latent = 256, 512
@@ -59,15 +61,23 @@ def main(iters: int = 300, batch: int = 1, pyramid_mode: str = "downsample"):
     cfg = ProjectorConfig(iters=iters, w_lpips=0.8, w_lmk=1e-3)
     project = jax.jit(
         make_projector(gen, variables["params"], face, tri, cfg,
-                       lpips_fn=lpips_fn, lmk_vidx=lmk_vidx)
+                       lpips_fn=lpips_fn, lmk_vidx=lmk_vidx),
+        static_argnames=("n_steps", "return_state"),
     )
+    if segments > 1:
+        # dispatch-length cap workaround (fit_segmented docstring): same
+        # trajectory, `segments` scans of iters/segments steps each
+        run = lambda key: fit_segmented(project, key, target, target_lmk,
+                                        iters=iters, segments=segments)
+    else:
+        run = lambda key: project(key, target, target_lmk)
     target = jnp.zeros((batch, size, size, 3))
     target_lmk = jnp.full((batch, 68, 2), size / 2.0)
 
-    out = project(jax.random.PRNGKey(3), target, target_lmk)
+    out = run(jax.random.PRNGKey(3))
     sync(out["render"])
     t0 = time.time()
-    out = project(jax.random.PRNGKey(4), target, target_lmk)
+    out = run(jax.random.PRNGKey(4))
     sync(out["render"])
     dt = time.time() - t0
     for k, val in sorted(out["losses"].items()):
@@ -79,12 +89,14 @@ def main(iters: int = 300, batch: int = 1, pyramid_mode: str = "downsample"):
               flush=True)
     assert np.isfinite(float(out["losses"]["lpips"]))
     assert np.isfinite(float(out["losses"]["lmk"]))
+    seg = f", {segments} host segments" if segments > 1 else ""
     print(f"{iters}-iter inversion (LPIPS+lmk), batch {batch}, "
-          f"pyramid_mode={pyramid_mode}: {dt / batch:.2f} s/face "
+          f"pyramid_mode={pyramid_mode}{seg}: {dt / batch:.2f} s/face "
           f"({dt / iters * 1e3:.1f} ms/iter for the batch)")
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
          int(sys.argv[2]) if len(sys.argv) > 2 else 1,
-         sys.argv[3] if len(sys.argv) > 3 else "downsample")
+         sys.argv[3] if len(sys.argv) > 3 else "downsample",
+         int(sys.argv[4]) if len(sys.argv) > 4 else 1)

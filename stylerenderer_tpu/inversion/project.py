@@ -97,7 +97,13 @@ def make_projector(
         )
         return img, vert
 
-    def project(rng, target, target_lmk=None):
+    def project(rng, target, target_lmk=None, *, state=None, n_steps=None,
+                return_state=False):
+        """One fit. Keyword extras support host-segmented runs
+        (``fit_segmented``): ``state`` resumes from a previous segment's
+        ``(params, opt_state)`` carry instead of the rng init, ``n_steps``
+        overrides ``cfg.iters`` for this dispatch (static under jit), and
+        ``return_state=True`` adds the carry to the output dict."""
         B = target.shape[0]
         k_mean, k_noise = jax.random.split(rng)
         mean_w = gen.apply(
@@ -185,15 +191,17 @@ def make_projector(
             p = optax.apply_updates(p, updates)
             return (p, opt), losses["total"]
 
-        (p_final, _), loss_hist = jax.lax.scan(
-            step, (params0, opt0), None, length=cfg.iters
+        carry0 = (params0, opt0) if state is None else state
+        (p_final, opt_final), loss_hist = jax.lax.scan(
+            step, carry0, None,
+            length=cfg.iters if n_steps is None else n_steps,
         )
         img, vert = render(
             p_final["w"], p_final["x"], p_final["rvec"], p_final["tvec"],
             p_final["log_scale"], noise, noise_rng,
         )
         _, final_losses = loss_fn(p_final)
-        return {
+        out = {
             "w_plus": p_final["w"],
             "face_params": p_final["x"],
             "rvec": p_final["rvec"],
@@ -204,8 +212,49 @@ def make_projector(
             "loss_history": loss_hist,
             "losses": final_losses,
         }
+        if return_state:
+            out["state"] = (p_final, opt_final)
+        return out
 
     return project
+
+
+def fit_segmented(project_jit, rng, target, target_lmk=None, *,
+                  iters, segments=2):
+    """Run a ``make_projector`` fit as ``segments`` host-level dispatches.
+
+    Motivation: the whole fit is ONE ``lax.scan``-stepped device program —
+    ideal for throughput (zero host round-trips), but some backends bound a
+    single dispatch's wall clock (the axon tunnel kills device programs
+    around ~60 s: a 300-iter batch-8 each-mode production inversion at
+    ~228 ms/iter reproducibly crashes the worker, while every sub-60 s
+    configuration of the same program runs fine — measured round 5). The
+    segmented fit carries ``(params, opt_state)`` across the host between
+    ``iters/segments``-step scans: the SAME Adam trajectory (a scan of
+    ``k`` steps twice is a scan of ``2k`` steps; the rng-derived init and
+    noise are reused verbatim), costing one ~15-20 ms round-trip per extra
+    segment. Also the natural hook for per-segment progress reporting /
+    early stopping in a serving deployment.
+
+    ``project_jit``: ``jax.jit(project, static_argnames=("n_steps",
+    "return_state"))`` of a ``make_projector`` result (or the unjitted
+    function). Pick ``segments`` dividing ``iters`` to compile one segment
+    length instead of two.
+    """
+    per = -(-iters // segments)
+    state = None
+    hists = []
+    out = None
+    done = 0
+    while done < iters:
+        k = min(per, iters - done)
+        out = dict(project_jit(rng, target, target_lmk,
+                               state=state, n_steps=k, return_state=True))
+        state = out.pop("state")
+        hists.append(out["loss_history"])
+        done += k
+    out["loss_history"] = jnp.concatenate(hists)
+    return out
 
 
 def make_projector_jit(

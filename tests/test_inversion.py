@@ -65,3 +65,30 @@ def test_projection_with_landmarks(setup):
     out = project(jax.random.PRNGKey(0), target, target_lmk)
     assert np.isfinite(np.asarray(out["loss_history"])).all()
     assert "lmk" in out["losses"]
+
+
+def test_segmented_fit_matches_single_dispatch(setup):
+    """fit_segmented (the ~60 s dispatch-cap workaround, round 5) must
+    reproduce the single-dispatch Adam trajectory: same rng-derived init,
+    (params, opt_state) carried across host segments, loss histories
+    concatenated — results bitwise-equal on CPU."""
+    from stylerenderer_tpu.inversion.project import fit_segmented
+
+    gen, params, face, tri = setup
+    target = jnp.zeros((1, 16, 16, 3))
+    cfg = ProjectorConfig(iters=12, lr=0.1, lr_geom=0.02, w_lpips=0.0,
+                          w_prior=1e-5)
+    project = jax.jit(
+        make_projector(gen, params, face, tri, cfg),
+        static_argnames=("n_steps", "return_state"),
+    )
+    rng = jax.random.PRNGKey(11)
+    ref = project(rng, target)
+    seg = fit_segmented(project, rng, target, iters=12, segments=3)
+    assert "state" not in seg
+    np.testing.assert_array_equal(np.asarray(seg["loss_history"]),
+                                  np.asarray(ref["loss_history"]))
+    for k in ("w_plus", "face_params", "rvec", "tvec", "log_scale",
+              "render"):
+        np.testing.assert_array_equal(np.asarray(seg[k]),
+                                      np.asarray(ref[k]), err_msg=k)
