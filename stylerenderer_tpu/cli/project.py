@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--vgg_weights", type=str, default="")
     p.add_argument("--out", type=str, default="recon")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--segments", type=int, default=1,
+                   help="split the fit into this many host dispatches "
+                        "(backends with a bounded single-dispatch wall "
+                        "clock; identical trajectory)")
     args = p.parse_args(argv)
 
     import jax
@@ -86,7 +90,8 @@ def main(argv=None):
         imgs.append(np.asarray(img, np.float32) / 127.5 - 1.0)
     target = jnp.asarray(np.stack(imgs))
 
-    out = project(params, jax.random.PRNGKey(args.seed), target)
+    out = project(params, jax.random.PRNGKey(args.seed), target,
+                  segments=args.segments)
     hist = np.asarray(out["loss_history"])
     print(f"loss: {hist[0]:.4f} -> {hist[-1]:.4f} over {args.iters} iters")
     save_image_grid(os.path.join(args.out, "render.png"), np.asarray(out["render"]))

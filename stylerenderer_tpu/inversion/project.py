@@ -23,6 +23,7 @@ gradients (rasterize.py) drive both the latents and the geometry.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Callable
 
@@ -277,22 +278,33 @@ def make_projector_jit(
 
     ``lpips`` / ``regressor``: ``(apply_fn, params)`` pairs where
     ``apply_fn(params, ...)`` is the pure application.
-    Returns ``project(g_params, rng, target, target_lmk=None)`` (jitted).
+    Returns ``project(g_params, rng, target, target_lmk=None, segments=1)``
+    (jitted; ``segments > 1`` runs the dispatch-capped segmented fit).
     """
     lpips_apply, lpips_params = lpips if lpips is not None else (None, None)
     reg_apply, reg_params = regressor if regressor is not None else (None, None)
 
-    @jax.jit
-    def project(g_params, lp, rp, rng, target, target_lmk):
+    @functools.partial(jax.jit, static_argnames=("n_steps", "return_state"))
+    def project(g_params, lp, rp, rng, target, target_lmk, *,
+                state=None, n_steps=None, return_state=False):
         lfn = (lambda a, b: lpips_apply(lp, a, b)) if lpips_apply else None
         rfn = (lambda img: reg_apply(rp, img)) if reg_apply else None
         inner = make_projector(
             gen, g_params, face, tri, cfg, lpips_fn=lfn,
             lmk_vidx=lmk_vidx, regressor_fn=rfn,
         )
-        return inner(rng, target, target_lmk)
+        return inner(rng, target, target_lmk, state=state, n_steps=n_steps,
+                     return_state=return_state)
 
-    def run(g_params, rng, target, target_lmk=None):
+    def run(g_params, rng, target, target_lmk=None, segments: int = 1):
+        """``segments > 1`` splits the fit into host-level dispatches
+        (``fit_segmented``) for backends with a bounded single-dispatch
+        wall clock; identical trajectory."""
+        if segments > 1:
+            bound = functools.partial(project, g_params, lpips_params,
+                                      reg_params)
+            return fit_segmented(bound, rng, target, target_lmk,
+                                 iters=cfg.iters, segments=segments)
         return project(g_params, lpips_params, reg_params, rng, target,
                        target_lmk)
 
